@@ -1,0 +1,62 @@
+"""Headline benchmark: pairwise interactions/sec/chip on the all-pairs kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.md north-star target of
+1e12 pairwise interactions/sec/chip (the reference publishes no numbers —
+SURVEY.md §6).
+"""
+
+import json
+import time
+
+import jax
+
+from parallelnbody_tpu.config import SimConfig
+from parallelnbody_tpu.api import init_simulation, make_step
+
+TARGET_INTERACTIONS_PER_SEC = 1.0e12
+
+
+def main():
+    backend = jax.default_backend()
+    if backend == "tpu":
+        n = 262144  # BASELINE.json config 2
+        cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",
+                        softening=0.01, dt=1e-4, force="auto")
+    else:
+        n = 8192
+        cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",
+                        softening=0.01, dt=1e-4, force="direct")
+
+    state = init_simulation(cfg)
+    step = make_step(cfg)
+
+    def sync(s):
+        # device_get of a dependent scalar forces the whole chain; on this
+        # image's axon backend block_until_ready alone does not block.
+        jax.block_until_ready(s)
+        return float(jax.device_get(s.time))
+
+    # Warmup / compile
+    state = step(state)
+    sync(state)
+
+    iters = 10 if backend == "tpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    sync(state)
+    dt = (time.perf_counter() - t0) / iters
+
+    # One leapfrog KDK step = one full N^2 force evaluation.
+    interactions_per_sec = (n * n) / dt
+    print(json.dumps({
+        "metric": "allpairs_interactions_per_sec_per_chip",
+        "value": interactions_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": interactions_per_sec / TARGET_INTERACTIONS_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

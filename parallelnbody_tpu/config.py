@@ -1,0 +1,155 @@
+"""Simulation configuration.
+
+Everything the reference hardcodes becomes a config field here
+(SURVEY.md §5 "Config / flag system"):
+
+  * G = 1e4              reference: OctreeSearch.h:104 (hardcoded)
+  * theta = 1.0          reference: OctreeSearch.cpp:85 (hardcoded)
+  * dt = 0.01            reference: OctreeSearch.cpp:8 (PhDeltaTime default)
+  * softening = 0        reference has none (exact-overlap guard only, h:102)
+  * integrator           reference: semi-implicit Euler, OctreeSearch.cpp:28-31
+  * ICs                  reference: random slab + central body, OctreeSearch.cpp:58-72
+
+The default profile is the TPU north star (softened gravity, Plummer sphere,
+leapfrog KDK, theta=0.5); `reference_compat_config` reproduces the reference's
+semantics for apples-to-apples oracle parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+FORCE_METHODS = ("direct", "direct_pallas", "barnes_hut", "auto")
+INTEGRATORS = ("leapfrog", "dkd", "euler_semi_implicit", "euler", "yoshida4", "rk4")
+IC_KINDS = (
+    "plummer",
+    "hernquist",
+    "uniform_cube",
+    "uniform_sphere",
+    "cold_sphere",
+    "disk",
+    "galaxy_collision",
+    "reference_slab",
+    "two_body",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static configuration of one simulation. Hashable → usable as a jit static arg."""
+
+    # --- problem size / physics ---
+    n: int = 4096
+    dt: float = 0.01
+    g: float = 1.0                 # gravitational constant (reference: 1e4, h:104)
+    softening: float = 1.0e-2      # Plummer softening length eps (reference: 0, h:102)
+    theta: float = 0.5             # Barnes-Hut MAC opening angle (reference: 1.0, .cpp:85)
+
+    # --- algorithms ---
+    force: str = "auto"            # direct | direct_pallas | barnes_hut | auto
+    integrator: str = "leapfrog"   # see INTEGRATORS
+    dtype: str = "float32"
+
+    # --- initial conditions ---
+    ic: str = "plummer"
+    ic_size: float = 1.0           # characteristic length (reference slab half-extent, h:142)
+    seed: int = 0
+
+    # --- Barnes-Hut parameters ---
+    bh_leaf_size: int = 256        # particles per Morton leaf group
+    bh_branching_log2: int = 3     # 8-ary tree over leaf groups
+    bh_max_levels: int = 12
+
+    # --- Pallas kernel tiling ---
+    tile_i: int = 256
+    tile_j: int = 1024
+
+    # --- parallelism ---
+    mesh_shape: tuple = ()         # e.g. (8,) — empty = single device
+    mesh_axes: tuple = ("ring",)
+
+    # --- run / io ---
+    steps: int = 100
+    snapshot_every: int = 0        # 0 = no snapshots
+    snapshot_dir: str = "snapshots"
+    log_every: int = 10
+    checkpoint_every: int = 0
+    checkpoint_dir: str = "checkpoints"
+
+    def __post_init__(self):
+        if self.force not in FORCE_METHODS:
+            raise ValueError(f"force must be one of {FORCE_METHODS}, got {self.force!r}")
+        if self.integrator not in INTEGRATORS:
+            raise ValueError(
+                f"integrator must be one of {INTEGRATORS}, got {self.integrator!r}"
+            )
+        if self.ic not in IC_KINDS:
+            raise ValueError(f"ic must be one of {IC_KINDS}, got {self.ic!r}")
+        if self.n <= 0:
+            raise ValueError("n must be positive")
+        if self.dt <= 0:
+            raise ValueError(
+                "dt must be positive (the reference pauses on PhDeltaTime <= 0, "
+                "OctreeSearch.cpp:25; pausing is a host-loop concern here)"
+            )
+        # normalize tuples (JSON round-trips lists)
+        object.__setattr__(self, "mesh_shape", tuple(self.mesh_shape))
+        object.__setattr__(self, "mesh_axes", tuple(self.mesh_axes))
+
+    # ------------------------------------------------------------------ utils
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    def resolve_force(self, backend: str | None = None) -> str:
+        """Resolve force='auto' to a concrete method for the current backend."""
+        if self.force != "auto":
+            return self.force
+        import jax
+
+        backend = backend or jax.default_backend()
+        if backend == "tpu" and self.n >= 4096:
+            try:
+                import parallelnbody_tpu.ops.pallas_direct  # noqa: F401
+
+                return "direct_pallas"
+            except ImportError:
+                return "direct"
+        return "direct"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SimConfig":
+        data: dict[str, Any] = json.loads(text)
+        return cls(**data)
+
+    @property
+    def n_devices(self) -> int:
+        out = 1
+        for s in self.mesh_shape:
+            out *= s
+        return out
+
+
+def reference_compat_config(n: int = 1024, size: float = 200.0) -> SimConfig:
+    """Config reproducing the reference's hardcoded semantics.
+
+    Force law a += G*M/d^3 * (CoM - x) with G=1e4 and no softening
+    (OctreeSearch.h:104,102), theta=1.0 (OctreeSearch.cpp:85), semi-implicit
+    Euler with dt=0.01 (OctreeSearch.cpp:8,28-31), slab ICs with a central body
+    (OctreeSearch.cpp:58-72).
+    """
+    return SimConfig(
+        n=n,
+        dt=0.01,
+        g=1.0e4,
+        softening=0.0,
+        theta=1.0,
+        integrator="euler_semi_implicit",
+        ic="reference_slab",
+        ic_size=size,
+        force="direct",
+    )

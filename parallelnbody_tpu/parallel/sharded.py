@@ -1,0 +1,100 @@
+"""Sharded simulation step: the full integrator under shard_map over a mesh.
+
+This is the multi-chip training-step equivalent: particle state sharded along
+the ring axis, forces via the ppermute ring (parallel/ring.py), integration
+elementwise on local shards, diagnostics via psum. One jit compiles the whole
+step; XLA lowers the ppermutes to ICI collective-permutes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from parallelnbody_tpu.config import SimConfig
+from parallelnbody_tpu.state import SimState
+from parallelnbody_tpu.ops.integrators import get_integrator
+from parallelnbody_tpu.parallel.mesh import state_pspecs, RING_AXIS
+from parallelnbody_tpu.parallel.ring import ring_accel
+
+
+def _make_tile_fn(cfg: SimConfig, n_local: int):
+    """Per-ring-pass tile kernel: Pallas on TPU, jnp elsewhere."""
+    method = cfg.resolve_force()
+    if method == "direct_pallas":
+        from parallelnbody_tpu.ops.pallas_direct import make_pallas_tile_fn
+
+        return make_pallas_tile_fn(cfg)
+    return None  # ring_accel defaults to the jnp tile
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Callable:
+    """Jitted step(state)->state for a particle-sharded state on `mesh`."""
+    integrator = get_integrator(cfg.integrator)
+    specs = state_pspecs(axis)
+
+    def local_step(state: SimState) -> SimState:
+        tile_fn = _make_tile_fn(cfg, state.n)
+
+        def accel_fn(pos):
+            return ring_accel(
+                pos, state.mass, g=cfg.g, softening=cfg.softening,
+                axis=axis, tile_fn=tile_fn,
+            )
+
+        dt = jnp.asarray(cfg.dt, state.pos.dtype)
+        pos, vel, acc, pot = integrator(
+            accel_fn, state.pos, state.vel, state.acc, state.pot, dt
+        )
+        return state._replace(
+            pos=pos, vel=vel, acc=acc, pot=pot,
+            time=state.time + dt, step=state.step + 1,
+        )
+
+    sharded = shard_map(
+        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_run(cfg: SimConfig, mesh: Mesh, n_steps: int, axis: str = RING_AXIS):
+    """n_steps sharded steps fused into one jitted lax.scan."""
+    step = make_sharded_step(cfg, mesh, axis)
+
+    # Scan over the already-shard_mapped step: state shardings are preserved
+    # by jit, so the collectives stay inside one compiled program.
+    @jax.jit
+    def run(state: SimState) -> SimState:
+        def body(s, _):
+            return step(s), None
+
+        state, _ = jax.lax.scan(body, state, length=n_steps)
+        return state
+
+    return run
+
+
+def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = RING_AXIS) -> SimState:
+    """Fill acc/pot of a freshly sharded state (before the first step)."""
+    specs = state_pspecs(axis)
+
+    def local_init(state: SimState) -> SimState:
+        tile_fn = _make_tile_fn(cfg, state.n)
+        acc, pot = ring_accel(
+            state.pos, state.mass, g=cfg.g, softening=cfg.softening,
+            axis=axis, tile_fn=tile_fn,
+        )
+        return state._replace(acc=acc, pot=pot)
+
+    fn = shard_map(local_init, mesh=mesh, in_specs=(specs,), out_specs=specs,
+                   check_vma=False)
+    return jax.jit(fn)(state)

@@ -1,0 +1,86 @@
+"""Multi-chip path tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelnbody_tpu.config import SimConfig
+from parallelnbody_tpu.api import init_simulation, make_step
+from parallelnbody_tpu.parallel import (
+    make_ring_mesh,
+    shard_state,
+    make_sharded_step,
+    make_sharded_run,
+)
+from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+
+CFG = SimConfig(n=512, ic="plummer", dt=1e-3, softening=0.02,
+                force="direct", dtype="float64")
+
+
+def test_ring_accel_matches_single_device(eight_devices):
+    """Sharded ring forces == single-device direct forces."""
+    mesh = make_ring_mesh(8)
+    state = init_simulation(CFG)
+    ref_acc, ref_pot = np.asarray(state.acc), np.asarray(state.pot)
+
+    sstate = shard_state(state._replace(acc=jnp.zeros_like(state.acc),
+                                        pot=jnp.zeros_like(state.pot)), mesh)
+    sstate = sharded_init_accel(CFG, mesh, sstate)
+    np.testing.assert_allclose(np.asarray(sstate.acc), ref_acc, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sstate.pot), ref_pot, rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_step_matches_single_device(eight_devices):
+    mesh = make_ring_mesh(8)
+    state = init_simulation(CFG)
+
+    step = make_step(CFG)
+    ref = state
+    for _ in range(5):
+        ref = step(ref)
+
+    sstate = shard_state(state, mesh)
+    sstep = make_sharded_step(CFG, mesh)
+    for _ in range(5):
+        sstate = sstep(sstate)
+
+    np.testing.assert_allclose(np.asarray(sstate.pos), np.asarray(ref.pos),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sstate.vel), np.asarray(ref.vel),
+                               rtol=1e-9, atol=1e-12)
+    assert int(sstate.step) == 5
+
+
+def test_sharded_run_scan(eight_devices):
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(CFG), mesh)
+    run = make_sharded_run(CFG, mesh, 10)
+    out = run(state)
+    assert int(out.step) == 10
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_chip_count_invariance(eight_devices, n_dev):
+    """Results are (near-)invariant to the number of chips (SURVEY.md §4)."""
+    mesh = make_ring_mesh(n_dev)
+    state = shard_state(init_simulation(CFG), mesh)
+    out = make_sharded_step(CFG, mesh)(state)
+    ref = make_step(CFG)(init_simulation(CFG))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_energy_conservation(eight_devices):
+    mesh = make_ring_mesh(8)
+    cfg = CFG.replace(integrator="leapfrog")
+    state = shard_state(init_simulation(cfg), mesh)
+    from parallelnbody_tpu.ops.energy import total_energy
+
+    e0 = float(total_energy(state.vel, state.mass, state.pot))
+    out = make_sharded_run(cfg, mesh, 100)(state)
+    e1 = float(total_energy(out.vel, out.mass, out.pot))
+    assert abs((e1 - e0) / e0) < 1e-4
