@@ -22,7 +22,8 @@ def main():
     if backend == "tpu":
         n = 262144  # BASELINE.json config 2
         cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",
-                        softening=0.01, dt=1e-4, force="auto")
+                        softening=0.01, dt=1e-4, force="direct_pallas",
+                        track_potential=False)
     else:
         n = 8192
         cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",

@@ -138,5 +138,12 @@ class Simulation:
         return self.state
 
     def diagnostics(self) -> dict:
-        vals = energy_ops.diagnostics(self.state)
+        state = self.state
+        if not self.cfg.track_potential:
+            # Hot steps skipped the potential; recompute it for diagnostics.
+            accel_fn = make_accel_fn(self.cfg.replace(track_potential=True),
+                                     state.mass)
+            _, pot = accel_fn(state.pos)
+            state = state._replace(pot=pot)
+        vals = energy_ops.diagnostics(state)
         return {k: float(v) for k, v in vals.items()}

@@ -51,6 +51,8 @@ class SimConfig:
     force: str = "auto"            # direct | direct_pallas | barnes_hut | auto
     integrator: str = "leapfrog"   # see INTEGRATORS
     dtype: str = "float32"
+    track_potential: bool = True   # False: skip per-step potential (~7% faster
+                                   # hot step); diagnostics recompute on demand
 
     # --- initial conditions ---
     ic: str = "plummer"
@@ -62,9 +64,9 @@ class SimConfig:
     bh_branching_log2: int = 3     # 8-ary tree over leaf groups
     bh_max_levels: int = 12
 
-    # --- Pallas kernel tiling ---
+    # --- Pallas kernel tiling (256x2048 measured best on v5e) ---
     tile_i: int = 256
-    tile_j: int = 1024
+    tile_j: int = 2048
 
     # --- parallelism ---
     mesh_shape: tuple = ()         # e.g. (8,) — empty = single device
@@ -109,7 +111,9 @@ class SimConfig:
         import jax
 
         backend = backend or jax.default_backend()
-        if backend == "tpu" and self.n >= 4096:
+        # The Pallas kernel wins on TPU for anything beyond trivial N (and
+        # compiles far faster than the fused O(N^2) jnp graph).
+        if backend == "tpu" and self.n >= 512:
             try:
                 import parallelnbody_tpu.ops.pallas_direct  # noqa: F401
 

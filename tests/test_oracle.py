@@ -1,0 +1,87 @@
+"""Native C++ oracle: build, parity with JAX, and the BASELINE drift target."""
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelnbody_tpu.config import SimConfig
+from parallelnbody_tpu.models import get_ic
+from parallelnbody_tpu.ops.direct import direct_accel
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+
+
+@pytest.fixture(scope="module")
+def oracle_cls():
+    from parallelnbody_tpu.native import Oracle
+
+    return Oracle
+
+
+def test_oracle_matches_jax_direct(oracle_cls):
+    rng = np.random.default_rng(0)
+    n = 128
+    pos = rng.standard_normal((n, 3))
+    mass = rng.uniform(0.5, 2.0, n)
+    oracle = oracle_cls(g=1.5, softening=0.02)
+    acc_c, pot_c = oracle.accel(pos, mass)
+    acc_j, pot_j = direct_accel(jnp.asarray(pos), jnp.asarray(mass),
+                                g=1.5, softening=0.02)
+    np.testing.assert_allclose(acc_c, np.asarray(acc_j), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(pot_c, np.asarray(pot_j), rtol=1e-12, atol=1e-12)
+
+
+def test_oracle_reference_law_unsoftened(oracle_cls):
+    """G=1e4, eps=0 — the reference's exact constants (OctreeSearch.h:104)."""
+    pos = np.array([[0.0, 0.0, 0.0], [3.0, 4.0, 0.0]])
+    mass = np.array([2.0, 1.0])
+    oracle = oracle_cls(g=1e4, softening=0.0)
+    acc, _ = oracle.accel(pos, mass)
+    # |a_0| = G * m_1 / d^2 = 1e4 / 25 = 400, direction (0.6, 0.8, 0)
+    np.testing.assert_allclose(acc[0], [400 * 0.6, 400 * 0.8, 0.0], rtol=1e-12)
+
+
+def test_oracle_trajectory_matches_jax_leapfrog(oracle_cls):
+    cfg = SimConfig(n=64, ic="plummer", softening=0.05, dt=1e-3,
+                    integrator="leapfrog", force="direct", dtype="float64")
+    from parallelnbody_tpu.api import init_simulation, make_run
+
+    state = init_simulation(cfg)
+    pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+
+    out = make_run(cfg, 50)(state)
+    oracle = oracle_cls(g=1.0, softening=0.05)
+    pos_c, vel_c = oracle.run(pos0, vel0, mass, dt=1e-3, steps=50)
+    np.testing.assert_allclose(pos_c, np.asarray(out.pos), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(vel_c, np.asarray(out.vel), rtol=1e-9, atol=1e-12)
+
+
+def test_energy_drift_parity_1000_steps(oracle_cls):
+    """BASELINE.md: < 1e-4 relative energy drift over 1000 steps, and the
+    float32 TPU-style path must track the float64 oracle."""
+    cfg = SimConfig(n=256, ic="plummer", softening=0.05, dt=1e-3,
+                    integrator="leapfrog", force="direct", dtype="float32")
+    from parallelnbody_tpu.api import init_simulation, make_run
+
+    state = init_simulation(cfg)
+    pos0, vel0 = np.asarray(state.pos), np.asarray(state.vel)
+    mass = np.asarray(state.mass)
+    oracle = oracle_cls(g=1.0, softening=0.05)
+
+    e0 = oracle.total_energy(pos0, vel0, mass)
+    out = make_run(cfg, 1000)(state)
+
+    # 1) oracle drift of the float32 framework trajectory
+    e1 = oracle.total_energy(np.asarray(out.pos), np.asarray(out.vel), mass)
+    drift = abs((e1 - e0) / e0)
+    assert drift < 1e-4, f"energy drift {drift}"
+
+    # 2) float32 trajectory stays close to the float64 oracle trajectory
+    pos_c, _ = oracle.run(pos0, vel0, mass, dt=1e-3, steps=1000)
+    scale = np.max(np.linalg.norm(pos_c, axis=1))
+    err = np.max(np.linalg.norm(pos_c - np.asarray(out.pos), axis=1)) / scale
+    assert err < 0.05, f"trajectory divergence {err}"
