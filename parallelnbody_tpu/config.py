@@ -61,7 +61,10 @@ class SimConfig:
 
     # --- Barnes-Hut parameters ---
     bh_leaf_size: int = 256        # particles per Morton leaf group
-    bh_branching_log2: int = 3     # 8-ary tree over leaf groups
+    bh_near_budget: int = 512      # max exact-interaction source leaves per
+                                   # target leaf (overflow reported)
+    bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
+                                   # no curve jumps -> compact leaves)
     bh_max_levels: int = 12
 
     # --- Pallas kernel tiling (256x2048 measured best on v5e) ---

