@@ -235,6 +235,17 @@ def cmd_oracle(args) -> int:
     return 0 if report["pass"] else 1
 
 
+# --------------------------------------------------------------------- render
+def cmd_render(args) -> int:
+    from parallelnbody_tpu.utils.render import render_trajectory
+
+    written = render_trajectory(args.traj_dir, args.out, size=args.size,
+                                plane=args.plane)
+    print(json.dumps({"frames_rendered": len(written),
+                      "out_dir": str(written[0].parent) if written else None}))
+    return 0
+
+
 # ----------------------------------------------------------------------- info
 def cmd_info(args) -> int:
     cfg = _build_config(args)
@@ -279,6 +290,13 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="backend / config info")
     _add_config_flags(pi)
     pi.set_defaults(fn=cmd_info)
+
+    pv = sub.add_parser("render", help="render a trajectory dir to PPM frames")
+    pv.add_argument("traj_dir")
+    pv.add_argument("--out", type=str, default=None)
+    pv.add_argument("--size", type=int, default=512)
+    pv.add_argument("--plane", choices=("xy", "xz", "yz"), default="xy")
+    pv.set_defaults(fn=cmd_render)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -158,18 +158,17 @@ def traverse(tree: BHTree, theta: float):
 
 
 # ------------------------------------------------------------------ far field
-def _far_level_jnp(pos_sorted, node_com, node_mass, mask, leaf_size,
-                   g, eps2, block_leaves):
-    """Mask-weighted monopole sums of every particle against one level's
-    nodes, streamed over leaf blocks to bound memory."""
-    n_pad = pos_sorted.shape[0]
-    n_leaves = n_pad // leaf_size
-    n_k = node_com.shape[0]
-    p = pos_sorted.reshape(n_leaves, leaf_size, 3)
-    maskf = mask.astype(pos_sorted.dtype)
+def _far_level_jnp(tgt_leaves, node_com, node_mass, mask, g, eps2,
+                   block_leaves):
+    """Mask-weighted monopole sums of target leaves against one level's
+    nodes, streamed over leaf blocks to bound memory.
+
+    tgt_leaves: (Ls, G, 3); mask: (Ls, n_k)."""
+    n_slice, leaf_size, _ = tgt_leaves.shape
+    maskf = mask.astype(tgt_leaves.dtype)
 
     def block(b0):
-        pb = jax.lax.dynamic_slice_in_dim(p, b0, block_leaves, 0)
+        pb = jax.lax.dynamic_slice_in_dim(tgt_leaves, b0, block_leaves, 0)
         mb = jax.lax.dynamic_slice_in_dim(maskf, b0, block_leaves, 0)
         d = node_com[None, None, :, :] - pb[:, :, None, :]  # (B, G, n_k, 3)
         r2 = jnp.sum(d * d, axis=-1) + eps2
@@ -180,10 +179,11 @@ def _far_level_jnp(pos_sorted, node_com, node_mass, mask, leaf_size,
         pot = -jnp.sum(mu, axis=-1)
         return acc, pot
 
-    n_blocks = n_leaves // block_leaves
+    n_blocks = n_slice // block_leaves
     starts = jnp.arange(n_blocks) * block_leaves
     acc, pot = jax.lax.map(block, starts)
-    return (g * acc.reshape(n_pad, 3), g * pot.reshape(n_pad))
+    n_out = n_slice * leaf_size
+    return (g * acc.reshape(n_out, 3), g * pot.reshape(n_out))
 
 
 # ----------------------------------------------------------------- near field
@@ -210,10 +210,13 @@ def near_lists(near_mask, budget: int):
     return idx, valid, overflow
 
 
-def _near_field_jnp(pos_sorted, mass_sorted, idx, valid, leaf_size, g, eps2,
-                    guard_zero):
+def _near_field_jnp(pos_sorted, mass_sorted, tgt_leaves, idx, valid,
+                    leaf_size, g, eps2, guard_zero):
+    """tgt_leaves: (Ls, G, 3) target slice; sources gathered from the full
+    sorted arrays via idx (Ls, B)."""
     n_pad = pos_sorted.shape[0]
     n_leaves = n_pad // leaf_size
+    n_slice = tgt_leaves.shape[0]
     budget = idx.shape[1]
     dtype = pos_sorted.dtype
     p = pos_sorted.reshape(n_leaves, leaf_size, 3)
@@ -221,11 +224,11 @@ def _near_field_jnp(pos_sorted, mass_sorted, idx, valid, leaf_size, g, eps2,
 
     def step(carry, k):
         acc, pot = carry
-        src = idx[:, k]                      # (n_leaves,)
-        vf = valid[:, k].astype(dtype)       # (n_leaves,)
-        ps = p[src]                          # (n_leaves, G, 3)
+        src = idx[:, k]                      # (Ls,)
+        vf = valid[:, k].astype(dtype)       # (Ls,)
+        ps = p[src]                          # (Ls, G, 3)
         ms = m[src] * vf[:, None]            # mask by validity
-        d = ps[:, None, :, :] - p[:, :, None, :]     # (L, G, G, 3)
+        d = ps[:, None, :, :] - tgt_leaves[:, :, None, :]  # (Ls, G, G, 3)
         r2 = jnp.sum(d * d, axis=-1) + eps2
         u = jax.lax.rsqrt(r2)
         if guard_zero:
@@ -236,34 +239,24 @@ def _near_field_jnp(pos_sorted, mass_sorted, idx, valid, leaf_size, g, eps2,
         pot = pot - jnp.sum(mu, axis=-1)
         return (acc, pot), None
 
-    acc0 = jnp.zeros((n_leaves, leaf_size, 3), dtype)
-    pot0 = jnp.zeros((n_leaves, leaf_size), dtype)
+    acc0 = jnp.zeros((n_slice, leaf_size, 3), dtype)
+    pot0 = jnp.zeros((n_slice, leaf_size), dtype)
     (acc, pot), _ = jax.lax.scan(step, (acc0, pot0), jnp.arange(budget))
-    return g * acc.reshape(n_pad, 3), g * pot.reshape(n_pad)
+    n_out = n_slice * leaf_size
+    return g * acc.reshape(n_out, 3), g * pot.reshape(n_out)
 
 
 # ------------------------------------------------------------------- assembly
-@functools.partial(
-    jax.jit,
-    static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
-                     "use_pallas", "curve"),
-)
-def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
-             near_budget=64, use_pallas=False, curve="hilbert"):
-    """Barnes-Hut accelerations/potentials in original particle order.
-
-    Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
-    near-field budget clipped some pairs (increase cfg.bh_near_budget).
-    """
+def _prepare(pos, mass, *, leaf_size, curve):
+    """Pad, curve-sort, and build the monopole pyramid. Returns
+    (pos_s, mass_s, perm, tree, n, n_pad)."""
     n = pos.shape[0]
     dtype = pos.dtype
     n_leaves, n_pad, _ = plan_tree(n, leaf_size)
-    eps2 = jnp.asarray(softening, dtype) ** 2
-    guard_zero = softening == 0.0
 
-    # Domain cube (reference ComputeCubeSize semantics: max |coord| —
-    # OctreeSearch.cpp:47-56 — but centered on the CoM-agnostic origin of the
-    # particle bounding box for tighter keys).
+    # Domain cube (reference ComputeCubeSize semantics: max extent —
+    # OctreeSearch.cpp:47-56 — centered on the particle bounding box for
+    # tighter keys).
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
     center = 0.5 * (lo + hi)
@@ -285,12 +278,26 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     perm = jnp.argsort(keys)
     pos_s = pos_p[perm]
     mass_s = mass_p[perm]
-
     tree = build_tree(pos_s, mass_s, leaf_size, sentinel)
-    far_masks, near_mask = traverse(tree, theta)
+    return pos_s, mass_s, perm, tree, n, n_pad
 
-    acc = jnp.zeros((n_pad, 3), dtype)
-    pot = jnp.zeros((n_pad,), dtype)
+
+def _forces_sorted(pos_s, mass_s, tree, far_masks, near_mask, *, start_leaf,
+                   n_slice, leaf_size, theta, g, softening, near_budget,
+                   use_pallas):
+    """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
+    in sorted order. start_leaf may be traced (multi-chip target partition).
+    Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow)."""
+    dtype = pos_s.dtype
+    n_pad = pos_s.shape[0]
+    n_leaves = n_pad // leaf_size
+    eps2 = jnp.asarray(softening, dtype) ** 2
+    guard_zero = softening == 0.0
+
+    p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
+    tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
+    near_slice = jax.lax.dynamic_slice_in_dim(near_mask, start_leaf, n_slice, 0)
+    idx, valid, overflow = near_lists(near_slice, near_budget)
 
     if use_pallas:
         from parallelnbody_tpu.ops.pallas_bh import far_field_pallas, near_field_pallas
@@ -302,28 +309,55 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
             [jnp.concatenate([tree.com[k], tree.mass[k][:, None]], axis=1)
              for k in range(tree.n_levels)], axis=0)
         mask_all = jnp.concatenate(
-            [far_masks[k] for k in range(tree.n_levels)], axis=1).astype(dtype)
-        a, ph = far_field_pallas(pos_s, nodes_all, mask_all, leaf_size,
-                                 g, float(softening), interpret=interpret)
-        acc, pot = acc + a, pot + ph
-        idx, valid, overflow = near_lists(near_mask, near_budget)
-        a, ph = near_field_pallas(pos_s, mass_s, idx, valid, leaf_size,
-                                  g, float(softening), guard_zero,
+            [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
+             for k in range(tree.n_levels)], axis=1).astype(dtype)
+        pos_slice = tgt_leaves.reshape(n_slice * leaf_size, 3)
+        acc, pot = far_field_pallas(pos_slice, nodes_all, mask_all, leaf_size,
+                                    g, float(softening), interpret=interpret)
+        a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid,
+                                  leaf_size, g, float(softening), guard_zero,
                                   interpret=interpret)
         acc, pot = acc + a, pot + ph
     else:
+        acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
+        pot = jnp.zeros((n_slice * leaf_size,), dtype)
         for k in range(tree.n_levels):
             n_k = tree.com[k].shape[0]
-            block = max(1, min(n_leaves, (1 << 21) // max(leaf_size * n_k, 1)))
-            while n_leaves % block:
+            block = max(1, min(n_slice, (1 << 21) // max(leaf_size * n_k, 1)))
+            while n_slice % block:
                 block -= 1
-            a, ph = _far_level_jnp(pos_s, tree.com[k], tree.mass[k],
-                                   far_masks[k], leaf_size, g, eps2, block)
+            mask_k = jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf,
+                                                  n_slice, 0)
+            a, ph = _far_level_jnp(tgt_leaves, tree.com[k], tree.mass[k],
+                                   mask_k, g, eps2, block)
             acc, pot = acc + a, pot + ph
-        idx, valid, overflow = near_lists(near_mask, near_budget)
-        a, ph = _near_field_jnp(pos_s, mass_s, idx, valid, leaf_size, g, eps2,
-                                guard_zero)
+        a, ph = _near_field_jnp(pos_s, mass_s, tgt_leaves, idx, valid,
+                                leaf_size, g, eps2, guard_zero)
         acc, pot = acc + a, pot + ph
+    return acc, pot, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
+                     "use_pallas", "curve"),
+)
+def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
+             near_budget=64, use_pallas=False, curve="hilbert"):
+    """Barnes-Hut accelerations/potentials in original particle order.
+
+    Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
+    near-field budget clipped some pairs (increase cfg.bh_near_budget).
+    """
+    pos_s, mass_s, perm, tree, n, n_pad = _prepare(
+        pos, mass, leaf_size=leaf_size, curve=curve)
+    far_masks, near_mask = traverse(tree, theta)
+    n_leaves = n_pad // leaf_size
+    acc, pot, overflow = _forces_sorted(
+        pos_s, mass_s, tree, far_masks, near_mask,
+        start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
+        g=g, softening=softening, near_budget=near_budget,
+        use_pallas=use_pallas)
 
     # Unsort back to the caller's particle order.
     acc_out = jnp.zeros_like(acc).at[perm].set(acc)[:n]
@@ -331,16 +365,48 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     return acc_out, pot_out, overflow
 
 
-def make_bh_accel(cfg, mass):
-    """accel_fn(pos) -> (acc, pot) with the configured BH parameters."""
-    use_pallas = False
+def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
+                          theta, g, softening, near_budget, use_pallas,
+                          curve):
+    """Multi-chip building block (replicated tree, partitioned targets):
+    compute forces only for the rank-th slice of target leaves.
+
+    pos_all/mass_all are the gathered GLOBAL arrays (identical on every
+    chip); rank is the traced mesh position. Returns
+    (acc_slice, pot_slice, perm, overflow): slice results in sorted order
+    plus the (replicated) sort permutation so the caller can reassemble
+    original order after an all_gather of slices. (SURVEY.md §7 stage 6.)
+    """
+    pos_s, mass_s, perm, tree, n, n_pad = _prepare(
+        pos_all, mass_all, leaf_size=leaf_size, curve=curve)
+    far_masks, near_mask = traverse(tree, theta)
+    n_leaves = n_pad // leaf_size
+    if n_leaves % n_ranks:
+        raise ValueError(f"n_leaves={n_leaves} not divisible by {n_ranks} chips")
+    n_slice = n_leaves // n_ranks
+    acc, pot, overflow = _forces_sorted(
+        pos_s, mass_s, tree, far_masks, near_mask,
+        start_leaf=rank * n_slice, n_slice=n_slice, leaf_size=leaf_size,
+        theta=theta, g=g, softening=softening, near_budget=near_budget,
+        use_pallas=use_pallas)
+    return acc, pot, perm, overflow
+
+
+def use_pallas_bh() -> bool:
+    """Pallas BH kernels are used on TPU (interpret mode is test-only)."""
     try:
         if jax.default_backend() == "tpu":
             import parallelnbody_tpu.ops.pallas_bh  # noqa: F401
 
-            use_pallas = True
+            return True
     except ImportError:
-        use_pallas = False
+        pass
+    return False
+
+
+def make_bh_accel(cfg, mass):
+    """accel_fn(pos) -> (acc, pot) with the configured BH parameters."""
+    use_pallas = use_pallas_bh()
 
     def accel_fn(pos):
         acc, pot, _ = bh_accel(

@@ -171,20 +171,23 @@ def _near_kernel(tgt_ref, idx_ref, cnt_ref, pt_hbm, out_ref, src_buf, sem,
     jax.jit,
     static_argnames=("leaf_size", "g", "softening", "guard_zero", "interpret"),
 )
-def near_field_pallas(pos_s, mass_s, idx, valid, leaf_size, g, softening,
-                      guard_zero, interpret=False):
-    """Exact leaf-leaf interactions via per-leaf gathered source lists.
+def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
+                      softening, guard_zero, interpret=False):
+    """Exact leaf-leaf interactions via per-target-leaf gathered source lists.
 
-    pos_s/mass_s: (Npad, 3)/(Npad,) Morton-sorted; idx/valid: (n_leaves, B)
-    from ops.bh.near_lists (valid rows are front-packed, so only the first
-    count_t entries are looped — padding costs nothing).
-    Returns (acc (Npad, 3), pot (Npad,))."""
-    n_pad = pos_s.shape[0]
-    n_leaves = n_pad // leaf_size
+    pos_s/mass_s: (Npad, 3)/(Npad,) curve-sorted GLOBAL sources;
+    tgt_leaves: (Ls, G, 3) target-leaf slice (Ls <= n_leaves, multi-chip
+    target partition); idx/valid: (Ls, B) from ops.bh.near_lists (valid
+    entries are front-packed, so only the first count_t entries are looped —
+    padding costs nothing). Returns (acc (Ls*G, 3), pot (Ls*G,))."""
+    n_slice = tgt_leaves.shape[0]
+    n_out = n_slice * leaf_size
     budget = idx.shape[1]
     dtype = pos_s.dtype
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
     pt4 = p4.T  # (4, Npad) — source-side layout for lane broadcasting
+    tgt4 = jnp.concatenate(
+        [tgt_leaves.reshape(n_out, 3), jnp.zeros((n_out, 1), dtype)], axis=1)
 
     idx_p = idx.astype(jnp.int32)
     cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
@@ -192,8 +195,8 @@ def near_field_pallas(pos_s, mass_s, idx, valid, leaf_size, g, softening,
     out = pl.pallas_call(
         functools.partial(_near_kernel, eps2=float(softening) ** 2,
                           guard_zero=guard_zero, leaf_size=leaf_size),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4), dtype),
-        grid=(n_leaves,),
+        out_shape=jax.ShapeDtypeStruct((n_out, 4), dtype),
+        grid=(n_slice,),
         in_specs=[
             pl.BlockSpec((leaf_size, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, budget), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
@@ -207,10 +210,10 @@ def near_field_pallas(pos_s, mass_s, idx, valid, leaf_size, g, softening,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=15 * n_pad * budget * leaf_size,
-            bytes_accessed=n_pad * 16 * (1 + budget),
-            transcendentals=n_pad * budget * leaf_size,
+            flops=15 * n_out * budget * leaf_size,
+            bytes_accessed=n_out * 16 * (1 + budget),
+            transcendentals=n_out * budget * leaf_size,
         ),
         interpret=interpret,
-    )(p4, idx_p, cnt, pt4)
+    )(tgt4, idx_p, cnt, pt4)
     return g * out[:, :3], -g * out[:, 3]

@@ -36,19 +36,58 @@ def _make_tile_fn(cfg: SimConfig, n_local: int):
     return None  # ring_accel defaults to the jnp tile
 
 
+def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str):
+    """Multi-chip Barnes-Hut: replicated tree, partitioned target leaves
+    (SURVEY.md §7 stage 6).
+
+    Every chip all-gathers (pos, mass) over ICI, redundantly sorts and builds
+    the monopole pyramid (compute is cheap and replicated => zero comm), then
+    evaluates far+near kernels only for its 1/P slice of target leaves. The
+    sorted-order result slices are all-gathered back and each chip picks the
+    rows of its own particles via the (replicated) sort permutation. Comm per
+    force evaluation: two all_gathers of ~N*16 bytes.
+    """
+    from parallelnbody_tpu.ops.bh import bh_accel_target_slice, use_pallas_bh
+
+    n_ranks = jax.lax.axis_size(axis)
+    rank = jax.lax.axis_index(axis)
+    n_local = pos_local.shape[0]
+
+    pos_all = jax.lax.all_gather(pos_local, axis, axis=0, tiled=True)
+    mass_all = jax.lax.all_gather(mass_local, axis, axis=0, tiled=True)
+
+    acc_sl, pot_sl, perm, _overflow = bh_accel_target_slice(
+        pos_all, mass_all, rank, n_ranks,
+        leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
+        softening=cfg.softening, near_budget=cfg.bh_near_budget,
+        use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
+    )
+    acc_sorted = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
+    pot_sorted = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)
+
+    inv_perm = jnp.argsort(perm)  # replicated: sorted position of each orig id
+    my_ids = rank * n_local + jnp.arange(n_local)
+    rows = inv_perm[my_ids]
+    return acc_sorted[rows], pot_sorted[rows]
+
+
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Callable:
     """Jitted step(state)->state for a particle-sharded state on `mesh`."""
     integrator = get_integrator(cfg.integrator)
     specs = state_pspecs(axis)
 
     def local_step(state: SimState) -> SimState:
-        tile_fn = _make_tile_fn(cfg, state.n)
+        if cfg.resolve_force() == "barnes_hut":
+            def accel_fn(pos):
+                return _bh_sharded_accel(pos, state.mass, cfg, axis)
+        else:
+            tile_fn = _make_tile_fn(cfg, state.n)
 
-        def accel_fn(pos):
-            return ring_accel(
-                pos, state.mass, g=cfg.g, softening=cfg.softening,
-                axis=axis, tile_fn=tile_fn,
-            )
+            def accel_fn(pos):
+                return ring_accel(
+                    pos, state.mass, g=cfg.g, softening=cfg.softening,
+                    axis=axis, tile_fn=tile_fn,
+                )
 
         dt = jnp.asarray(cfg.dt, state.pos.dtype)
         pos, vel, acc, pot = integrator(
@@ -88,11 +127,14 @@ def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = 
     specs = state_pspecs(axis)
 
     def local_init(state: SimState) -> SimState:
-        tile_fn = _make_tile_fn(cfg, state.n)
-        acc, pot = ring_accel(
-            state.pos, state.mass, g=cfg.g, softening=cfg.softening,
-            axis=axis, tile_fn=tile_fn,
-        )
+        if cfg.resolve_force() == "barnes_hut":
+            acc, pot = _bh_sharded_accel(state.pos, state.mass, cfg, axis)
+        else:
+            tile_fn = _make_tile_fn(cfg, state.n)
+            acc, pot = ring_accel(
+                state.pos, state.mass, g=cfg.g, softening=cfg.softening,
+                axis=axis, tile_fn=tile_fn,
+            )
         return state._replace(acc=acc, pot=pot)
 
     fn = shard_map(local_init, mesh=mesh, in_specs=(specs,), out_specs=specs,

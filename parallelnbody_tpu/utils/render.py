@@ -1,0 +1,92 @@
+"""Dependency-free particle renderer — the debug-draw replacement.
+
+The reference draws every particle as a point each frame through UE4's
+debug-draw (DrawDebugPoint, OctreeSearch.cpp:41). The TPU framework renders
+trajectory snapshots offline: orthographic projection -> mass-weighted 2D
+histogram -> log tone-map -> binary PPM (P6), no imaging libraries needed.
+An ASCII PLY exporter feeds real 3D tools (Blender/MeshLab/UE-style viewers).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+_AXES = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}
+
+
+def render_ppm(pos, mass=None, *, size=512, plane="xy", extent=None,
+               path=None, gamma=0.5):
+    """Render (N, 3) positions to an RGB image array (and optionally a .ppm).
+
+    Returns the (size, size, 3) uint8 image. extent = half-width of the view
+    (defaults to the 99th percentile radius so outliers don't shrink the
+    interesting region)."""
+    pos = np.asarray(pos)
+    mass = np.ones(len(pos)) if mass is None else np.asarray(mass)
+    ax = _AXES[plane]
+    xy = pos[:, ax]
+    if extent is None:
+        extent = float(np.percentile(np.abs(xy), 99.0)) * 1.1 or 1.0
+
+    ij = np.floor((xy + extent) / (2 * extent) * size).astype(int)
+    keep = (ij[:, 0] >= 0) & (ij[:, 0] < size) & (ij[:, 1] >= 0) & (ij[:, 1] < size)
+    ij, w = ij[keep], mass[keep]
+    hist = np.zeros((size, size))
+    np.add.at(hist, (size - 1 - ij[:, 1], ij[:, 0]), w)
+
+    v = np.log1p(hist / max(hist.max(), 1e-30) * 1e3)
+    v = (v / max(v.max(), 1e-30)) ** gamma
+    # Dark-blue -> white colormap, no external deps.
+    r = np.clip(v * 1.6 - 0.2, 0, 1)
+    g = np.clip(v * 1.4 - 0.1, 0, 1)
+    b = np.clip(v * 1.1 + 0.08 * (v > 0), 0, 1)
+    img = (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+    if path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(f"P6 {size} {size} 255\n".encode())
+            f.write(img.tobytes())
+    return img
+
+
+def export_ply(path, pos, mass=None) -> Path:
+    """ASCII PLY point cloud for external 3D viewers."""
+    pos = np.asarray(pos)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = len(pos)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if mass is not None:
+            f.write("property float mass\n")
+        f.write("end_header\n")
+        if mass is not None:
+            for p, m in zip(pos, np.asarray(mass)):
+                f.write(f"{p[0]:.6g} {p[1]:.6g} {p[2]:.6g} {m:.6g}\n")
+        else:
+            for p in pos:
+                f.write(f"{p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n")
+    return path
+
+
+def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
+                      extent=None) -> list:
+    """Render every frame of a TrajectoryWriter manifest to PPM images."""
+    traj_dir = Path(traj_dir)
+    out_dir = Path(out_dir) if out_dir else traj_dir / "frames"
+    manifest = json.loads((traj_dir / "manifest.json").read_text())
+    written = []
+    for frame in manifest["frames"]:
+        with np.load(traj_dir / frame["file"]) as z:
+            pos, mass = z["pos"], z["mass"]
+        out = out_dir / (Path(frame["file"]).stem + f"_{plane}.ppm")
+        render_ppm(pos, mass, size=size, plane=plane, extent=extent, path=out)
+        written.append(out)
+    return written

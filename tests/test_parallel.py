@@ -84,3 +84,37 @@ def test_sharded_energy_conservation(eight_devices):
     out = make_sharded_run(cfg, mesh, 100)(state)
     e1 = float(total_energy(out.vel, out.mass, out.pot))
     assert abs((e1 - e0) / e0) < 1e-4
+
+
+def test_sharded_bh_matches_single_device(eight_devices):
+    """Multi-chip Barnes-Hut (replicated tree, partitioned targets) must
+    match the single-device BH bit-for-bit-ish."""
+    cfg = SimConfig(n=2048, ic="plummer", dt=1e-3, softening=0.02,
+                    force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
+                    dtype="float64")
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+
+    step = make_step(cfg)
+    ref = step(state)
+
+    sstate = shard_state(state, mesh)
+    out = make_sharded_step(cfg, mesh)(sstate)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_bh_init_accel(eight_devices):
+    cfg = SimConfig(n=2048, ic="plummer", softening=0.02,
+                    force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
+                    dtype="float64")
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    ref_acc = np.asarray(state.acc)
+    sstate = shard_state(state._replace(acc=jnp.zeros_like(state.acc),
+                                        pot=jnp.zeros_like(state.pot)), mesh)
+    sstate = sharded_init_accel(cfg, mesh, sstate)
+    np.testing.assert_allclose(np.asarray(sstate.acc), ref_acc,
+                               rtol=1e-7, atol=1e-10)
