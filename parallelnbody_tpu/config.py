@@ -61,7 +61,9 @@ class SimConfig:
 
     # --- Barnes-Hut parameters ---
     bh_leaf_size: int = 256        # particles per Morton leaf group
-    bh_near_budget: int = 512      # max exact-interaction source leaves per
+    bh_near_budget: int = 1024     # max exact-interaction source leaves per
+                                   # target leaf (overflow reported)
+    bh_far_budget: int = 3072      # max accepted leaf-level monopoles per
                                    # target leaf (overflow reported)
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)

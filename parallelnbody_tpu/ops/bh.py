@@ -127,18 +127,28 @@ MAC_SIZE_SCALE = 1.0
 def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
     """(n_leaves, n_k) True where the node monopole is acceptable for every
     particle in the target leaf (group MAC: target radius subtracted from
-    the separation so the bound holds for the leaf's worst-case particle)."""
-    d = jnp.linalg.norm(node_com[None, :, :] - leaf_com[:, None, :], axis=-1)
-    d_eff = d - leaf_r[:, None]
+    the separation so the bound holds for the leaf's worst-case particle).
+
+    Distances are accumulated component-wise: a broadcasted
+    (n_leaves, n_k, 3) difference tensor would be lane-padded 3 -> 128 by
+    the TPU layout (42x memory at large n_leaves)."""
+    d2 = jnp.zeros((leaf_com.shape[0], node_com.shape[0]), leaf_com.dtype)
+    for c in range(3):
+        dc = node_com[:, c][None, :] - leaf_com[:, c][:, None]
+        d2 = d2 + dc * dc
+    d_eff = jnp.sqrt(d2) - leaf_r[:, None]
     return (MAC_SIZE_SCALE * node_r[None, :]) < (theta * d_eff)
 
 
 def traverse(tree: BHTree, theta: float):
-    """Level-synchronous masked traversal.
+    """Level-synchronous masked traversal over the upper levels (k >= 1).
 
-    Returns (far_masks, near_mask): far_masks[k] is the (n_leaves, n_k)
-    bool mask of nodes at level k accepted as monopoles; near_mask is the
-    (n_leaves, n_leaves) bool mask of leaf pairs needing exact interaction.
+    Returns (far_masks, rejects_l1): far_masks[k] is the (n_leaves, n_k) bool
+    mask of nodes at level k >= 1 accepted as monopoles (index 0 unused,
+    None); rejects_l1 is the (n_leaves, n_l1) bool mask of level-1 nodes that
+    must be refined to leaf granularity (handled sparsely by
+    `leaf_interactions` — a dense (n_leaves x n_leaves) leaf mask would be
+    the memory/compile wall at large N).
     """
     leaf_com, leaf_r = tree.com[0], tree.radius[0]
     n_leaves = leaf_com.shape[0]
@@ -146,44 +156,83 @@ def traverse(tree: BHTree, theta: float):
 
     far_masks = [None] * n_levels
     active = jnp.ones((n_leaves, tree.com[-1].shape[0]), bool)
-    for k in range(n_levels - 1, 0, -1):
+    for k in range(n_levels - 1, 1, -1):
         mac = _group_mac(leaf_com, leaf_r, tree.com[k], tree.radius[k], theta)
         far_masks[k] = active & mac
         branch = tree.com[k - 1].shape[0] // tree.com[k].shape[0]
         active = jnp.repeat(active & ~mac, branch, axis=1)
-    mac0 = _group_mac(leaf_com, leaf_r, tree.com[0], tree.radius[0], theta)
-    far_masks[0] = active & mac0
-    near_mask = active & ~mac0
-    return far_masks, near_mask
+    mac1 = _group_mac(leaf_com, leaf_r, tree.com[1], tree.radius[1], theta)
+    far_masks[1] = active & mac1
+    rejects_l1 = active & ~mac1
+    return far_masks, rejects_l1
 
 
-# ------------------------------------------------------------------ far field
-def _far_level_jnp(tgt_leaves, node_com, node_mass, mask, g, eps2,
-                   block_leaves):
-    """Mask-weighted monopole sums of target leaves against one level's
-    nodes, streamed over leaf blocks to bound memory.
+def _row_compact(mask, fill_idx, budget):
+    """Front-pack the True column-values of `fill_idx` per row into a padded
+    (n_rows, budget) list. mask/fill_idx: (n_rows, C). Returns
+    (idx, valid, overflow).
 
-    tgt_leaves: (Ls, G, 3); mask: (Ls, n_k)."""
-    n_slice, leaf_size, _ = tgt_leaves.shape
-    maskf = mask.astype(tgt_leaves.dtype)
+    Sort-based: masked-out entries get a sentinel key and sort to the back —
+    one row sort instead of a scatter (TPU scatters are an order of magnitude
+    slower at these sizes)."""
+    n_rows, n_cols = mask.shape
+    budget = min(budget, n_cols)
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    big = jnp.iinfo(jnp.int32).max
+    keys = jnp.where(mask, fill_idx, big)
+    idx = jax.lax.sort(keys, dimension=1)[:, :budget]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, budget), 1) < counts[:, None]
+    idx = jnp.where(valid, idx, 0)
+    return idx, valid, overflow
 
-    def block(b0):
-        pb = jax.lax.dynamic_slice_in_dim(tgt_leaves, b0, block_leaves, 0)
-        mb = jax.lax.dynamic_slice_in_dim(maskf, b0, block_leaves, 0)
-        d = node_com[None, None, :, :] - pb[:, :, None, :]  # (B, G, n_k, 3)
-        r2 = jnp.sum(d * d, axis=-1) + eps2
-        u = jax.lax.rsqrt(r2)
-        mu = node_mass[None, None, :] * u * mb[:, None, :]
-        w = mu * u * u
-        acc = jnp.einsum("bgk,bgkc->bgc", w, d)
-        pot = -jnp.sum(mu, axis=-1)
-        return acc, pot
 
-    n_blocks = n_slice // block_leaves
-    starts = jnp.arange(n_blocks) * block_leaves
-    acc, pot = jax.lax.map(block, starts)
-    n_out = n_slice * leaf_size
-    return (g * acc.reshape(n_out, 3), g * pot.reshape(n_out))
+def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
+                      start_leaf, n_slice, near_budget: int,
+                      far0_budget: int):
+    """Refine rejected level-1 nodes to leaf granularity, sparsely, for the
+    target-leaf slice [start_leaf, start_leaf + n_slice).
+
+    Each rejected level-1 node contributes its `branch` child leaves as
+    candidates; the leaf-level MAC splits candidates into accepted leaf
+    monopoles (far0) and exact near pairs. Returns
+    (near_idx, near_valid, far0_idx, far0_valid, overflow)."""
+    leaf_com, leaf_r = tree.com[0], tree.radius[0]
+    n_leaves = leaf_com.shape[0]
+    branch = n_leaves // tree.com[1].shape[0]
+
+    rej = jax.lax.dynamic_slice_in_dim(rejects_l1, start_leaf, n_slice, 0)
+    tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
+    tgt_r = jax.lax.dynamic_slice_in_dim(leaf_r, start_leaf, n_slice, 0)
+
+    # Compact rejected level-1 nodes, then expand to candidate leaves.
+    # Each rejected node expands to `branch` candidates that land in either
+    # list, so the l1 budget covers both lists' worth of candidates.
+    l1_budget = -(-(near_budget + far0_budget) // branch)
+    cols = jax.lax.broadcasted_iota(jnp.int32, rej.shape, 1)
+    idx1, valid1, of1 = _row_compact(rej, cols, l1_budget)
+    cand = (idx1[:, :, None] * branch
+            + jnp.arange(branch, dtype=jnp.int32)[None, None, :]
+            ).reshape(n_slice, -1)                     # (Ls, l1_budget*branch)
+    cand_valid = jnp.repeat(valid1, branch, axis=1)
+
+    # Leaf-level MAC per candidate. Component-wise gathers from the
+    # transposed (3, n_leaves) table: a (Ls, C, 3) gather would be padded
+    # 3 -> 128 lanes by the TPU layout (42x memory).
+    leaf_com_t = leaf_com.T  # (3, n_leaves)
+    d2 = jnp.zeros(cand.shape, leaf_com.dtype)
+    for c in range(3):
+        dc = leaf_com_t[c][cand] - tgt_com[:, c][:, None]
+        d2 = d2 + dc * dc
+    c_r = leaf_r[cand]
+    d = jnp.sqrt(d2)
+    mac0 = (MAC_SIZE_SCALE * c_r) < (theta * (d - tgt_r[:, None]))
+
+    near_idx, near_valid, of_n = _row_compact(cand_valid & ~mac0, cand,
+                                              near_budget)
+    far0_idx, far0_valid, of_f = _row_compact(cand_valid & mac0, cand,
+                                              far0_budget)
+    return near_idx, near_valid, far0_idx, far0_valid, of1 + of_n + of_f
 
 
 # ----------------------------------------------------------------- near field
@@ -246,6 +295,36 @@ def _near_field_jnp(pos_sorted, mass_sorted, tgt_leaves, idx, valid,
     return g * acc.reshape(n_out, 3), g * pot.reshape(n_out)
 
 
+def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
+              block_leaves):
+    """Accepted leaf-level monopoles, per target leaf.
+
+    tgt_leaves: (Ls, G, 3); node_pos: (Ls, B0, 3); node_mass: (Ls, B0)
+    (invalid entries must already have zero mass)."""
+    n_slice, leaf_size, _ = tgt_leaves.shape
+
+    def block(b0):
+        pb = jax.lax.dynamic_slice_in_dim(tgt_leaves, b0, block_leaves, 0)
+        npos = jax.lax.dynamic_slice_in_dim(node_pos, b0, block_leaves, 0)
+        nm = jax.lax.dynamic_slice_in_dim(node_mass, b0, block_leaves, 0)
+        d = npos[:, None, :, :] - pb[:, :, None, :]   # (B, G, B0, 3)
+        r2 = jnp.sum(d * d, axis=-1) + eps2
+        u = jax.lax.rsqrt(r2)
+        if guard_zero:
+            u = jnp.where(r2 > 0, u, 0.0)
+        mu = nm[:, None, :] * u
+        w = mu * u * u
+        acc = jnp.einsum("bgk,bgkc->bgc", w, d)
+        pot = -jnp.sum(mu, axis=-1)
+        return acc, pot
+
+    n_blocks = n_slice // block_leaves
+    starts = jnp.arange(n_blocks) * block_leaves
+    acc, pot = jax.lax.map(block, starts)
+    n_out = n_slice * leaf_size
+    return g * acc.reshape(n_out, 3), g * pot.reshape(n_out)
+
+
 # ------------------------------------------------------------------- assembly
 def _prepare(pos, mass, *, leaf_size, curve):
     """Pad, curve-sort, and build the monopole pyramid. Returns
@@ -282,12 +361,17 @@ def _prepare(pos, mass, *, leaf_size, curve):
     return pos_s, mass_s, perm, tree, n, n_pad
 
 
-def _forces_sorted(pos_s, mass_s, tree, far_masks, near_mask, *, start_leaf,
+def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
                    n_slice, leaf_size, theta, g, softening, near_budget,
-                   use_pallas):
+                   far0_budget, use_pallas):
     """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
     in sorted order. start_leaf may be traced (multi-chip target partition).
-    Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow)."""
+    Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
+
+    Everything is per-target lists of sources evaluated by the gathered-chunk
+    kernels (ops/pallas_bh.py): upper-level accepted nodes (dense mask used
+    directly as validity), leaf-level accepted monopoles (compacted), and
+    exact near leaves (compacted)."""
     dtype = pos_s.dtype
     n_pad = pos_s.shape[0]
     n_leaves = n_pad // leaf_size
@@ -296,43 +380,65 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, near_mask, *, start_leaf,
 
     p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
     tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
-    near_slice = jax.lax.dynamic_slice_in_dim(near_mask, start_leaf, n_slice, 0)
-    idx, valid, overflow = near_lists(near_slice, near_budget)
+    near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
+        tree, rejects_l1, theta, start_leaf=start_leaf, n_slice=n_slice,
+        near_budget=near_budget, far0_budget=far0_budget)
+
+    # Upper-level accepted nodes: the dense mask is narrow (node counts
+    # shrink 8x per level), so it serves directly as a full-width list.
+    nodes_up = jnp.concatenate(
+        [jnp.concatenate([tree.com[k], tree.mass[k][:, None]], axis=1)
+         for k in range(1, tree.n_levels)], axis=0).astype(dtype)
+    n_up = nodes_up.shape[0]
+    up_valid = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
+         for k in range(1, tree.n_levels)], axis=1)
+    up_idx = jnp.broadcast_to(
+        jnp.arange(n_up, dtype=jnp.int32)[None, :], (n_slice, n_up))
+    leaf_nodes = jnp.concatenate(
+        [tree.com[0], tree.mass[0][:, None]], axis=1).astype(dtype)
 
     if use_pallas:
-        from parallelnbody_tpu.ops.pallas_bh import far_field_pallas, near_field_pallas
+        from parallelnbody_tpu.ops.pallas_bh import (
+            far_field_pallas, near_field_pallas)
 
         interpret = jax.default_backend() != "tpu"
-        # All levels' nodes in one list: the acceptance mask already encodes
-        # the level structure, so the far field is a single masked kernel.
-        nodes_all = jnp.concatenate(
-            [jnp.concatenate([tree.com[k], tree.mass[k][:, None]], axis=1)
-             for k in range(tree.n_levels)], axis=0)
-        mask_all = jnp.concatenate(
-            [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
-             for k in range(tree.n_levels)], axis=1).astype(dtype)
-        pos_slice = tgt_leaves.reshape(n_slice * leaf_size, 3)
-        acc, pot = far_field_pallas(pos_slice, nodes_all, mask_all, leaf_size,
-                                    g, float(softening), interpret=interpret)
-        a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid,
-                                  leaf_size, g, float(softening), guard_zero,
-                                  interpret=interpret)
+        acc, pot = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
+                                    g, float(softening), guard_zero,
+                                    interpret=interpret)
+        a, ph = far_field_pallas(tgt_leaves, leaf_nodes, far0_idx, far0_valid,
+                                 g, float(softening), guard_zero,
+                                 interpret=interpret)
+        acc, pot = acc + a, pot + ph
+        a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, near_idx,
+                                  near_valid, leaf_size, g, float(softening),
+                                  guard_zero, interpret=interpret)
         acc, pot = acc + a, pot + ph
     else:
-        acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
-        pot = jnp.zeros((n_slice * leaf_size,), dtype)
-        for k in range(tree.n_levels):
-            n_k = tree.com[k].shape[0]
-            block = max(1, min(n_slice, (1 << 21) // max(leaf_size * n_k, 1)))
-            while n_slice % block:
-                block -= 1
-            mask_k = jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf,
-                                                  n_slice, 0)
-            a, ph = _far_level_jnp(tgt_leaves, tree.com[k], tree.mass[k],
-                                   mask_k, g, eps2, block)
-            acc, pot = acc + a, pot + ph
-        a, ph = _near_field_jnp(pos_s, mass_s, tgt_leaves, idx, valid,
-                                leaf_size, g, eps2, guard_zero)
+        def far_list_jnp(nodes_table, idx, valid, chunk):
+            acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
+            pot = jnp.zeros((n_slice * leaf_size,), dtype)
+            b = idx.shape[1]
+            for c0 in range(0, b, chunk):
+                ii = idx[:, c0:c0 + chunk]
+                vv = valid[:, c0:c0 + chunk]
+                npos = nodes_table[ii, :3]
+                nm = jnp.where(vv, nodes_table[ii, 3], 0.0).astype(dtype)
+                block = max(1, min(n_slice,
+                                   (1 << 21) // max(leaf_size * chunk, 1)))
+                while n_slice % block:
+                    block -= 1
+                a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
+                                  block)
+                acc, pot = acc + a, pot + ph
+            return acc, pot
+
+        acc, pot = far_list_jnp(nodes_up, up_idx, up_valid, min(512, n_up))
+        a, ph = far_list_jnp(leaf_nodes, far0_idx, far0_valid,
+                             min(512, far0_idx.shape[1]))
+        acc, pot = acc + a, pot + ph
+        a, ph = _near_field_jnp(pos_s, mass_s, tgt_leaves, near_idx,
+                                near_valid, leaf_size, g, eps2, guard_zero)
         acc, pot = acc + a, pot + ph
     return acc, pot, overflow
 
@@ -340,24 +446,26 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, near_mask, *, start_leaf,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
-                     "use_pallas", "curve"),
+                     "far0_budget", "use_pallas", "curve"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
-             near_budget=64, use_pallas=False, curve="hilbert"):
+             near_budget=64, far0_budget=2048, use_pallas=False,
+             curve="hilbert"):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
-    near-field budget clipped some pairs (increase cfg.bh_near_budget).
+    near/far budgets clipped some pairs (increase cfg.bh_near_budget /
+    cfg.bh_far_budget).
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos, mass, leaf_size=leaf_size, curve=curve)
-    far_masks, near_mask = traverse(tree, theta)
+    far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     acc, pot, overflow = _forces_sorted(
-        pos_s, mass_s, tree, far_masks, near_mask,
+        pos_s, mass_s, tree, far_masks, rejects_l1,
         start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
         g=g, softening=softening, near_budget=near_budget,
-        use_pallas=use_pallas)
+        far0_budget=far0_budget, use_pallas=use_pallas)
 
     # Unsort back to the caller's particle order.
     acc_out = jnp.zeros_like(acc).at[perm].set(acc)[:n]
@@ -366,8 +474,8 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
 
 
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
-                          theta, g, softening, near_budget, use_pallas,
-                          curve):
+                          theta, g, softening, near_budget, far0_budget,
+                          use_pallas, curve):
     """Multi-chip building block (replicated tree, partitioned targets):
     compute forces only for the rank-th slice of target leaves.
 
@@ -379,16 +487,16 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos_all, mass_all, leaf_size=leaf_size, curve=curve)
-    far_masks, near_mask = traverse(tree, theta)
+    far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     if n_leaves % n_ranks:
         raise ValueError(f"n_leaves={n_leaves} not divisible by {n_ranks} chips")
     n_slice = n_leaves // n_ranks
     acc, pot, overflow = _forces_sorted(
-        pos_s, mass_s, tree, far_masks, near_mask,
+        pos_s, mass_s, tree, far_masks, rejects_l1,
         start_leaf=rank * n_slice, n_slice=n_slice, leaf_size=leaf_size,
         theta=theta, g=g, softening=softening, near_budget=near_budget,
-        use_pallas=use_pallas)
+        far0_budget=far0_budget, use_pallas=use_pallas)
     return acc, pot, perm, overflow
 
 
@@ -413,6 +521,7 @@ def make_bh_accel(cfg, mass):
             pos, mass,
             leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
             softening=cfg.softening, near_budget=cfg.bh_near_budget,
+            far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas, curve=cfg.bh_curve,
         )
         return acc, pot

@@ -60,6 +60,7 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str):
         pos_all, mass_all, rank, n_ranks,
         leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
         softening=cfg.softening, near_budget=cfg.bh_near_budget,
+        far0_budget=cfg.bh_far_budget,
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
     )
     acc_sorted = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)

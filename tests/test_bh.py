@@ -57,20 +57,34 @@ def test_tree_radius_bounds_members():
 
 def test_traversal_covers_every_pair_exactly_once():
     """Every (target leaf, source particle) interaction is accounted for by
-    exactly one accepted node or one near pair."""
+    exactly one accepted node, one leaf monopole, or one near pair."""
+    from parallelnbody_tpu.ops.bh import leaf_interactions
+
     pos, _, mass = _plummer(2048, seed=1)
     keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
     perm = jnp.argsort(keys)
     tree = build_tree(pos[perm], mass[perm], 32, jnp.asarray([10.0, 10.0, 10.0]))
-    far, near = traverse(tree, theta=0.5)
-    # Count source leaves covered per target: accepted node at level k covers
-    # 8^k leaves; near covers 1 each. Total must equal n_leaves.
+    far, rejects_l1 = traverse(tree, theta=0.5)
     n_leaves = tree.com[0].shape[0]
-    cover = near.astype(jnp.int32).sum(1)
-    for k in range(tree.n_levels):
+    near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
+        tree, rejects_l1, 0.5, start_leaf=0, n_slice=n_leaves,
+        near_budget=n_leaves, far0_budget=n_leaves)
+    assert int(overflow) == 0
+    # Count source leaves covered per target: accepted node at level k covers
+    # (n_leaves / n_k) leaves; far0 + near cover 1 each. Must equal n_leaves.
+    cover = near_valid.astype(jnp.int32).sum(1) + far0_valid.astype(jnp.int32).sum(1)
+    for k in range(1, tree.n_levels):
         leaves_per_node = n_leaves // tree.com[k].shape[0]
         cover = cover + far[k].astype(jnp.int32).sum(1) * leaves_per_node
     np.testing.assert_array_equal(np.asarray(cover), n_leaves)
+    # And no duplicate leaf ids within any target's combined lists.
+    both = np.concatenate([
+        np.where(np.asarray(near_valid), np.asarray(near_idx), -1),
+        np.where(np.asarray(far0_valid), np.asarray(far0_idx), -2),
+    ], axis=1)
+    for row in both:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
 
 
 @pytest.mark.parametrize("theta,tol", [(0.0, 5e-5), (0.3, 5e-3), (0.7, 3e-2)])
