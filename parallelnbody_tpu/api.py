@@ -61,6 +61,14 @@ def init_simulation(cfg: SimConfig, key: jax.Array | None = None) -> SimState:
     state = make_state(pos, vel, mass, key=k_state, dtype=jnp.dtype(cfg.dtype))
     accel_fn = make_accel_fn(cfg, state.mass)
     acc, pot = accel_fn(state.pos)
+    if cfg.virialize:
+        # Rescale speeds so 2K = -W using the just-computed potential —
+        # turns approximately-sampled models (hernquist/king/nfw/...) into
+        # virial equilibria without per-model distribution functions.
+        ke = 0.5 * jnp.sum(state.mass * jnp.sum(vel * vel, axis=-1))
+        w = 0.5 * jnp.sum(state.mass * pot)
+        scale = jnp.sqrt(jnp.maximum(-w, 1e-30) / jnp.maximum(2.0 * ke, 1e-30))
+        state = state._replace(vel=vel * scale)
     return state._replace(acc=acc, pot=pot)
 
 

@@ -33,6 +33,8 @@ IC_KINDS = (
     "galaxy_collision",
     "reference_slab",
     "two_body",
+    "king",
+    "nfw",
 )
 
 
@@ -58,6 +60,7 @@ class SimConfig:
     ic: str = "plummer"
     ic_size: float = 1.0           # characteristic length (reference slab half-extent, h:142)
     seed: int = 0
+    virialize: bool = False        # rescale IC speeds so 2K = -W at t=0
 
     # --- Barnes-Hut parameters ---
     bh_leaf_size: int = 256        # particles per Morton leaf group

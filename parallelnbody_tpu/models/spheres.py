@@ -178,3 +178,78 @@ def two_body(key, cfg, n=None, dtype=None):
         ring = 1e4 * a
         pos = pos.at[2:, 0].set(ring * jnp.cos(ang)).at[2:, 1].set(ring * jnp.sin(ang))
     return pos, vel, mass
+
+
+@register_ic("king")
+def king(key, cfg, n=None, dtype=None, w0: float = 6.0):
+    """King (1966) lowered-isothermal sphere, sampled approximately:
+    positions from a numerically integrated King density profile, velocities
+    from the local lowered-Maxwellian truncated at the escape speed."""
+    n = n or cfg.n
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    # Integrate the dimensionless King model W(r) once with numpy (static).
+    import numpy as _np
+
+    def _king_profile(w0, n_grid=2048):
+        # rho(W) ~ exp(W) erf(sqrt(W)) - sqrt(4 W / pi) (1 + 2W/3)
+        from math import erf, sqrt, pi, exp
+
+        def rho_of_w(w):
+            if w <= 0:
+                return 0.0
+            return exp(w) * erf(sqrt(w)) - sqrt(4 * w / pi) * (1 + 2 * w / 3)
+
+        # Solve Poisson: (1/r^2) d/dr(r^2 dW/dr) = -9 rho/rho0
+        rho0 = rho_of_w(w0)
+        dr = 1e-3
+        r, w, dwdr = dr, w0, 0.0
+        rs, rhos = [0.0], [1.0]
+        while w > 0 and r < 50:
+            d2 = -9.0 * rho_of_w(w) / rho0 - (2.0 / r) * dwdr
+            dwdr += d2 * dr
+            w += dwdr * dr
+            r += dr
+            rs.append(r)
+            rhos.append(max(rho_of_w(w) / rho0, 0.0))
+        rs = _np.asarray(rs)
+        rhos = _np.asarray(rhos)
+        menc = _np.concatenate([[0.0], _np.cumsum(
+            4 * _np.pi * rs[1:] ** 2 * rhos[1:] * _np.diff(rs))])
+        return rs, menc / menc[-1]
+
+    rs, cdf = _king_profile(w0)
+    k_r, k_dir, k_v = jax.random.split(key, 3)
+    u = jax.random.uniform(k_r, (n,), dtype, minval=1e-6, maxval=1 - 1e-6)
+    r = cfg.ic_size * jnp.interp(u, jnp.asarray(cdf, dtype), jnp.asarray(rs, dtype))
+    pos = r[:, None] * _isotropic_unit_vectors(k_dir, n, dtype)
+    # Local virial-ish dispersion, truncated near the tidal radius.
+    rt = float(rs[-1]) * cfg.ic_size
+    sigma = 0.4 * jnp.sqrt(jnp.clip(1.0 - r / rt, 0.05, 1.0) / jnp.maximum(cfg.ic_size, 1e-9))
+    vel = sigma[:, None] * jax.random.normal(k_v, (n, 3), dtype)
+    mass = jnp.full((n,), 1.0 / n, dtype)
+    return pos - jnp.mean(pos, 0), vel - jnp.mean(vel, 0), mass
+
+
+@register_ic("nfw")
+def nfw(key, cfg, n=None, dtype=None, concentration: float = 10.0):
+    """NFW halo truncated at r_200 = concentration * ic_size (scale radius
+    ic_size); velocities from the local virial scaling (approximate)."""
+    n = n or cfg.n
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    c = concentration
+    rs_ = cfg.ic_size
+    k_r, k_dir, k_v = jax.random.split(key, 3)
+
+    def m_of_x(x):  # enclosed mass of NFW in units of M(r200)
+        return (jnp.log(1 + x) - x / (1 + x)) / (jnp.log(1 + c) - c / (1 + c))
+
+    xs = jnp.linspace(1e-3, c, 4096).astype(dtype)
+    cdf = m_of_x(xs)
+    u = jax.random.uniform(k_r, (n,), dtype, minval=1e-5, maxval=1 - 1e-5)
+    x = jnp.interp(u, cdf / cdf[-1], xs)
+    r = rs_ * x
+    pos = r[:, None] * _isotropic_unit_vectors(k_dir, n, dtype)
+    sigma = jnp.sqrt(cfg.g * m_of_x(x) / (2.0 * jnp.maximum(r, 0.05 * rs_)))
+    vel = sigma[:, None] * jax.random.normal(k_v, (n, 3), dtype)
+    mass = jnp.full((n,), 1.0 / n, dtype)
+    return pos - jnp.mean(pos, 0), vel - jnp.mean(vel, 0), mass

@@ -180,3 +180,20 @@ def test_bh_pallas_path_matches_jnp():
     assert int(of0) == int(of1) == 0
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=2e-4, atol=2e-5)
+
+
+def test_bh_unsoftened_compat():
+    """BH with softening=0 (reference-compat force law) must stay finite and
+    match direct within MAC tolerance — exercises the guard_zero paths in
+    every kernel."""
+    pos, _, mass = _plummer(2048, seed=13, dtype="float64")
+    acc_d, _ = direct_accel(pos, mass, g=1e4, softening=0.0)
+    for use_pallas in (False, True):
+        acc, _, of = bh_accel(pos, mass, leaf_size=32, theta=0.4, g=1e4,
+                              softening=0.0, near_budget=256,
+                              use_pallas=use_pallas)
+        assert int(of) == 0
+        assert np.all(np.isfinite(np.asarray(acc)))
+        scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+        err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
+        assert err < 2e-2, (use_pallas, err)

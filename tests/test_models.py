@@ -84,3 +84,16 @@ def test_disk_rotates():
     pos, vel, mass = get_ic("disk")(jax.random.key(0), cfg)
     lz = np.asarray(jnp.sum(mass * (pos[:, 0] * vel[:, 1] - pos[:, 1] * vel[:, 0])))
     assert lz > 0.1  # net angular momentum about z
+
+
+def test_virialize_option():
+    """virialize=True rescales speeds so 2K + W = 0 at t=0."""
+    from parallelnbody_tpu.api import init_simulation
+    from parallelnbody_tpu.ops.energy import kinetic_energy, potential_energy
+
+    cfg = SimConfig(n=2048, ic="nfw", softening=0.02, force="direct",
+                    dtype="float64", virialize=True)
+    state = init_simulation(cfg)
+    ke = float(kinetic_energy(state.vel, state.mass))
+    w = float(potential_energy(state.pot, state.mass))
+    assert abs(2 * ke + w) / abs(w) < 1e-6

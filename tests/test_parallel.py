@@ -118,3 +118,33 @@ def test_sharded_bh_init_accel(eight_devices):
     sstate = sharded_init_accel(cfg, mesh, sstate)
     np.testing.assert_allclose(np.asarray(sstate.acc), ref_acc,
                                rtol=1e-7, atol=1e-10)
+
+
+def test_ring_with_pallas_tile_interpret(eight_devices):
+    """The ring schedule with the Pallas tile kernel (interpret mode on CPU)
+    matches the jnp tile — validates the TPU multi-chip all-pairs path."""
+    from parallelnbody_tpu.parallel.ring import ring_accel
+    from parallelnbody_tpu.ops.pallas_direct import pallas_accel_tile
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg = SimConfig(n=512, ic="plummer", softening=0.02, dtype="float32")
+    state = init_simulation(cfg)
+    mesh = make_ring_mesh(8)
+
+    def tile_fn(pi, pj, mj):
+        return pallas_accel_tile(pi, pj, mj, g=1.0, softening=0.02,
+                                 tile_i=32, tile_j=128, interpret=True)
+
+    def local(pos, mass):
+        return ring_accel(pos, mass, g=1.0, softening=0.02, tile_fn=tile_fn)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P("ring"), P("ring")),
+                   out_specs=(P("ring"), P("ring")), check_vma=False)
+    acc, pot = jax.jit(fn)(state.pos, state.mass)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(state.acc),
+                               rtol=5e-4, atol=5e-4)
