@@ -70,6 +70,8 @@ class SimConfig:
                                    # target leaf (overflow reported)
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)
+    bh_multipole: int = 2          # 1 = monopole, 2 = + traceless quadrupole
+                                   # (lets theta open ~2x at equal accuracy)
     bh_max_levels: int = 12
 
     # --- Pallas kernel tiling (256x2048 measured best on v5e) ---

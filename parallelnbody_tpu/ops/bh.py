@@ -46,12 +46,16 @@ from parallelnbody_tpu.ops.direct import direct_accel_tile
 
 
 class BHTree(NamedTuple):
-    """Per-level monopole pyramid over Morton leaves. Index 0 = leaves,
-    index -1 = root. Each level: com (n_k, 3), mass (n_k,), radius (n_k,)."""
+    """Per-level multipole pyramid over curve-sorted leaves. Index 0 =
+    leaves, index -1 = root. Each level: com (n_k, 3), mass (n_k,),
+    radius (n_k,), quad (n_k, 5) traceless quadrupole
+    [Qxx, Qyy, Qxy, Qxz, Qyz] about the CoM (Qzz = -Qxx - Qyy);
+    quad is a tuple of Nones when built with multipole order 1."""
 
     com: tuple
     mass: tuple
     radius: tuple
+    quad: tuple
 
     @property
     def n_levels(self):
@@ -71,8 +75,25 @@ def plan_tree(n: int, leaf_size: int, max_levels: int = 12):
     return n_leaves, n_leaves * leaf_size, levels
 
 
-def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel) -> BHTree:
-    """Monopole pyramid from Morton-sorted particles.
+def _quad_about(d, w):
+    """Traceless quadrupole [Qxx, Qyy, Qxy, Qxz, Qyz] of weighted
+    displacements d: (..., K, 3), w: (..., K) -> (..., 5)."""
+    d2 = jnp.sum(d * d, axis=-1)
+    qxx = jnp.sum(w * (3 * d[..., 0] * d[..., 0] - d2), axis=-1)
+    qyy = jnp.sum(w * (3 * d[..., 1] * d[..., 1] - d2), axis=-1)
+    qxy = jnp.sum(w * 3 * d[..., 0] * d[..., 1], axis=-1)
+    qxz = jnp.sum(w * 3 * d[..., 0] * d[..., 2], axis=-1)
+    qyz = jnp.sum(w * 3 * d[..., 1] * d[..., 2], axis=-1)
+    return jnp.stack([qxx, qyy, qxy, qxz, qyz], axis=-1)
+
+
+def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel,
+               multipole_order: int = 1) -> BHTree:
+    """Multipole pyramid from curve-sorted particles.
+
+    multipole_order: 1 = monopole only; 2 = + traceless quadrupoles
+    (propagated upward with the parallel-axis shift
+    Q_parent = sum_c [Q_c + m_c (3 s s^T - |s|^2 I)], s = com_c - com_p).
 
     Zero-mass (padding) members are excluded from CoM/radius; empty nodes get
     CoM = sentinel (far outside the domain) so they trivially pass the MAC
@@ -80,7 +101,6 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel) -> BHTree:
     """
     n_pad = pos_sorted.shape[0]
     n_leaves = n_pad // leaf_size
-    dtype = pos_sorted.dtype
 
     p = pos_sorted.reshape(n_leaves, leaf_size, 3)
     m = mass_sorted.reshape(n_leaves, leaf_size)
@@ -90,10 +110,12 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel) -> BHTree:
         jnp.sum(m[:, :, None] * p, axis=1) / jnp.maximum(msum, 1e-30)[:, None],
         sentinel[None, :],
     )
-    r = jnp.linalg.norm(p - com[:, None, :], axis=-1)
+    d = p - com[:, None, :]
+    r = jnp.linalg.norm(d, axis=-1)
     radius = jnp.max(jnp.where(m > 0, r, 0.0), axis=1)
+    quad = _quad_about(d, m) if multipole_order >= 2 else None
 
-    coms, masses, radii = [com], [msum], [radius]
+    coms, masses, radii, quads = [com], [msum], [radius], [quad]
     while coms[-1].shape[0] > 1:
         n_k = coms[-1].shape[0]
         b = 8 if (n_k % 8 == 0 and n_k >= 8) else n_k
@@ -106,13 +128,21 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel) -> BHTree:
             jnp.sum(mm[:, :, None] * c, axis=1) / jnp.maximum(msum_k, 1e-30)[:, None],
             sentinel[None, :],
         )
-        spread = jnp.linalg.norm(c - com_k[:, None, :], axis=-1) + rr
+        sdisp = c - com_k[:, None, :]
+        spread = jnp.linalg.norm(sdisp, axis=-1) + rr
         rad_k = jnp.max(jnp.where(mm > 0, spread, 0.0), axis=1)
+        if multipole_order >= 2:
+            qk = jnp.sum(quads[-1].reshape(-1, b, 5), axis=1)
+            qk = qk + _quad_about(sdisp, mm)
+            quads.append(qk)
+        else:
+            quads.append(None)
         coms.append(com_k)
         masses.append(msum_k)
         radii.append(rad_k)
 
-    return BHTree(com=tuple(coms), mass=tuple(masses), radius=tuple(radii))
+    return BHTree(com=tuple(coms), mass=tuple(masses), radius=tuple(radii),
+                  quad=tuple(quads))
 
 
 # MAC size constant: the node's "size" in `size/d < theta` is taken as
@@ -296,11 +326,12 @@ def _near_field_jnp(pos_sorted, mass_sorted, tgt_leaves, idx, valid,
 
 
 def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
-              block_leaves):
-    """Accepted leaf-level monopoles, per target leaf.
+              block_leaves, node_quad=None):
+    """Accepted node multipoles, per target leaf (jnp fallback path).
 
     tgt_leaves: (Ls, G, 3); node_pos: (Ls, B0, 3); node_mass: (Ls, B0)
-    (invalid entries must already have zero mass)."""
+    (invalid entries must already have zero mass); node_quad: optional
+    (Ls, B0, 5) traceless quadrupoles [Qxx, Qyy, Qxy, Qxz, Qyz]."""
     n_slice, leaf_size, _ = tgt_leaves.shape
 
     def block(b0):
@@ -316,6 +347,22 @@ def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
         w = mu * u * u
         acc = jnp.einsum("bgk,bgkc->bgc", w, d)
         pot = -jnp.sum(mu, axis=-1)
+        if node_quad is not None:
+            q = jax.lax.dynamic_slice_in_dim(node_quad, b0, block_leaves, 0)
+            q = q[:, None]                            # (B, 1, B0, 5)
+            qzz = -(q[..., 0] + q[..., 1])
+            qd = jnp.stack([
+                q[..., 0] * d[..., 0] + q[..., 2] * d[..., 1] + q[..., 3] * d[..., 2],
+                q[..., 2] * d[..., 0] + q[..., 1] * d[..., 1] + q[..., 4] * d[..., 2],
+                q[..., 3] * d[..., 0] + q[..., 4] * d[..., 1] + qzz * d[..., 2],
+            ], axis=-1)
+            qq = jnp.sum(qd * d, axis=-1)             # (B, G, B0)
+            u2 = u * u
+            u5 = u2 * u2 * u
+            c1 = 2.5 * qq * u5 * u2
+            acc = acc + jnp.einsum("bgk,bgkc->bgc", c1, d) \
+                      - jnp.einsum("bgk,bgkc->bgc", u5, qd)
+            pot = pot - jnp.sum(0.5 * qq * u5, axis=-1)
         return acc, pot
 
     n_blocks = n_slice // block_leaves
@@ -326,7 +373,7 @@ def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
 
 
 # ------------------------------------------------------------------- assembly
-def _prepare(pos, mass, *, leaf_size, curve):
+def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1):
     """Pad, curve-sort, and build the monopole pyramid. Returns
     (pos_s, mass_s, perm, tree, n, n_pad)."""
     n = pos.shape[0]
@@ -357,7 +404,8 @@ def _prepare(pos, mass, *, leaf_size, curve):
     perm = jnp.argsort(keys)
     pos_s = pos_p[perm]
     mass_s = mass_p[perm]
-    tree = build_tree(pos_s, mass_s, leaf_size, sentinel)
+    tree = build_tree(pos_s, mass_s, leaf_size, sentinel,
+                      multipole_order=multipole_order)
     return pos_s, mass_s, perm, tree, n, n_pad
 
 
@@ -386,17 +434,23 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
 
     # Upper-level accepted nodes: the dense mask is narrow (node counts
     # shrink 8x per level), so it serves directly as a full-width list.
+    with_quad = tree.quad[0] is not None
+
+    def node_table(k):
+        cols = [tree.com[k], tree.mass[k][:, None]]
+        if with_quad:
+            cols.append(tree.quad[k])
+        return jnp.concatenate(cols, axis=1).astype(dtype)
+
     nodes_up = jnp.concatenate(
-        [jnp.concatenate([tree.com[k], tree.mass[k][:, None]], axis=1)
-         for k in range(1, tree.n_levels)], axis=0).astype(dtype)
+        [node_table(k) for k in range(1, tree.n_levels)], axis=0)
     n_up = nodes_up.shape[0]
     up_valid = jnp.concatenate(
         [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
          for k in range(1, tree.n_levels)], axis=1)
     up_idx = jnp.broadcast_to(
         jnp.arange(n_up, dtype=jnp.int32)[None, :], (n_slice, n_up))
-    leaf_nodes = jnp.concatenate(
-        [tree.com[0], tree.mass[0][:, None]], axis=1).astype(dtype)
+    leaf_nodes = node_table(0)
 
     if use_pallas:
         from parallelnbody_tpu.ops.pallas_bh import (
@@ -424,12 +478,14 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
                 vv = valid[:, c0:c0 + chunk]
                 npos = nodes_table[ii, :3]
                 nm = jnp.where(vv, nodes_table[ii, 3], 0.0).astype(dtype)
+                nq = (jnp.where(vv[..., None], nodes_table[ii, 4:9], 0.0)
+                      if with_quad else None)
                 block = max(1, min(n_slice,
                                    (1 << 21) // max(leaf_size * chunk, 1)))
                 while n_slice % block:
                     block -= 1
                 a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
-                                  block)
+                                  block, node_quad=nq)
                 acc, pot = acc + a, pot + ph
             return acc, pot
 
@@ -446,11 +502,11 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
-                     "far0_budget", "use_pallas", "curve"),
+                     "far0_budget", "use_pallas", "curve", "multipole"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
-             curve="hilbert"):
+             curve="hilbert", multipole=1):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
@@ -458,7 +514,7 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     cfg.bh_far_budget).
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
-        pos, mass, leaf_size=leaf_size, curve=curve)
+        pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole)
     far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     acc, pot, overflow = _forces_sorted(
@@ -475,7 +531,7 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
 
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
                           theta, g, softening, near_budget, far0_budget,
-                          use_pallas, curve):
+                          use_pallas, curve, multipole=1):
     """Multi-chip building block (replicated tree, partitioned targets):
     compute forces only for the rank-th slice of target leaves.
 
@@ -486,7 +542,8 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     original order after an all_gather of slices. (SURVEY.md §7 stage 6.)
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
-        pos_all, mass_all, leaf_size=leaf_size, curve=curve)
+        pos_all, mass_all, leaf_size=leaf_size, curve=curve,
+        multipole_order=multipole)
     far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     if n_leaves % n_ranks:
@@ -523,6 +580,7 @@ def make_bh_accel(cfg, mass):
             softening=cfg.softening, near_budget=cfg.bh_near_budget,
             far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas, curve=cfg.bh_curve,
+            multipole=cfg.bh_multipole,
         )
         return acc, pot
 

@@ -46,6 +46,8 @@ def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
+    quad = src_ref.shape[2] == 9
+
     @pl.when(chunk_start < count)
     def _():
         tgt = tgt_ref[0]                      # (4, G)
@@ -59,7 +61,7 @@ def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
         az = jnp.zeros((g_t, 1), xi.dtype)
         sp = jnp.zeros((g_t, 1), xi.dtype)
         for j in range(s_outer):
-            src = src_ref[0, j]               # (4, S_in)
+            src = src_ref[0, j]               # (C, S_in)
             xj = src[0:1, :]                  # (1, S_in)
             yj = src[1:2, :]
             zj = src[2:3, :]
@@ -73,11 +75,36 @@ def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
             if guard_zero:
                 u = jnp.where(r2 > 0.0, u, 0.0)
             mu = mj * u
-            w = mu * (u * u)
-            ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-            ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-            az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-            sp = sp + jnp.sum(mu, axis=1, keepdims=True)
+            u2 = u * u
+            w = mu * u2
+            cax = w * dx
+            cay = w * dy
+            caz = w * dz
+            csp = mu
+            if quad:
+                # Traceless quadrupole: a += -G(Q dx)/r^5 + (5G/2)(dx'Q dx) dx/r^7,
+                # phi += -(G/2)(dx'Q dx)/r^5 (dx = com - x).
+                qxx = src[4:5, :]
+                qyy = src[5:6, :]
+                qxy = src[6:7, :]
+                qxz = src[7:8, :]
+                qyz = src[8:9, :]
+                qzz = -(qxx + qyy)
+                qdx = qxx * dx + qxy * dy + qxz * dz
+                qdy = qxy * dx + qyy * dy + qyz * dz
+                qdz = qxz * dx + qyz * dy + qzz * dz
+                qq = qdx * dx + qdy * dy + qdz * dz
+                u4 = u2 * u2
+                u5 = u4 * u
+                c1 = (2.5 * qq) * (u5 * u2)
+                cax = cax + c1 * dx - u5 * qdx
+                cay = cay + c1 * dy - u5 * qdy
+                caz = caz + c1 * dz - u5 * qdz
+                csp = csp + (0.5 * qq) * u5
+            ax = ax + jnp.sum(cax, axis=1, keepdims=True)
+            ay = ay + jnp.sum(cay, axis=1, keepdims=True)
+            az = az + jnp.sum(caz, axis=1, keepdims=True)
+            sp = sp + jnp.sum(csp, axis=1, keepdims=True)
 
         out_ref[0] = jnp.concatenate(
             [jnp.transpose(ax), jnp.transpose(ay),
@@ -89,7 +116,7 @@ def _gathered_call(tgt_t, src, cnt, *, eps2, guard_zero, chunk_start,
     """tgt_t: (L, 4, G); src: (L, S_outer, 4, S_in); cnt: (L, 1) int32 ->
     (L, 4, G) partial sums for this chunk."""
     n_slice, _, leaf_size = tgt_t.shape
-    s_outer, s_in = src.shape[1], src.shape[3]
+    s_outer, n_comp, s_in = src.shape[1], src.shape[2], src.shape[3]
     return pl.pallas_call(
         functools.partial(_gathered_kernel, eps2=eps2, guard_zero=guard_zero,
                           chunk_start=chunk_start),
@@ -99,7 +126,7 @@ def _gathered_call(tgt_t, src, cnt, *, eps2, guard_zero, chunk_start,
             pl.BlockSpec((8, 1), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_outer, 4, s_in), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, s_outer, n_comp, s_in), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
@@ -171,13 +198,14 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
 )
 def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
                      interpret=False):
-    """Monopole far field: targets (Ls, G, 3) against per-target lists of
-    accepted nodes idx/valid (Ls, B) over the global (n_nodes, 4) monopole
-    table [com, mass] (any mix of tree levels — the lists encode the
-    structure, so upper-level and leaf-level monopoles share one kernel)."""
+    """Multipole far field: targets (Ls, G, 3) against per-target lists of
+    accepted nodes idx/valid (Ls, B) over the global node table — (n, 4)
+    [com, mass] monopole or (n, 9) [com, mass, Qxx, Qyy, Qxy, Qxz, Qyz]
+    quadrupole (any mix of tree levels — the lists encode the structure, so
+    upper-level and leaf-level nodes share one kernel)."""
     budget = idx.shape[1]
     dtype = tgt_leaves.dtype
-    nodes_t = nodes.T  # (4, n_nodes): gather along lanes, no 4->128 padding
+    nodes_t = nodes.T  # (C, n_nodes): gather along lanes, no C->128 padding
 
     tgt_t = _to_tgt_t(tgt_leaves)
     cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
@@ -189,8 +217,10 @@ def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
         k = min(chunk, budget - c0)
         ii = idx[:, c0:c0 + k]
         vv = valid[:, c0:c0 + k]
-        src = jnp.swapaxes(nodes_t[:, ii], 0, 1)          # (Ls, 4, k)
-        src = src.at[:, 3, :].multiply(vv.astype(dtype))  # zero invalid mass
+        src = jnp.swapaxes(nodes_t[:, ii], 0, 1)          # (Ls, C, k)
+        # Zero mass AND moments of invalid entries (quadrupole terms do not
+        # scale with mass, so masking mass alone is not enough).
+        src = src.at[:, 3:, :].multiply(vv[:, None, :].astype(dtype))
         out = out + _gathered_call(tgt_t, src[:, None], cnt, eps2=eps2,
                                    guard_zero=guard_zero, chunk_start=c0,
                                    interpret=interpret)

@@ -62,6 +62,7 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str):
         softening=cfg.softening, near_budget=cfg.bh_near_budget,
         far0_budget=cfg.bh_far_budget,
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
+        multipole=cfg.bh_multipole,
     )
     acc_sorted = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
     pot_sorted = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)

@@ -197,3 +197,60 @@ def test_bh_unsoftened_compat():
         scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
         err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
         assert err < 2e-2, (use_pallas, err)
+
+
+def test_quadrupole_two_mass_node():
+    """A two-point-mass node evaluated with its quadrupole must be ~300x more
+    accurate than the monopole alone (both kernels and the jnp path)."""
+    from parallelnbody_tpu.ops.bh import _quad_about, _far0_jnp
+    from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
+
+    rng = np.random.default_rng(1)
+    tgt = jnp.asarray(rng.uniform(0.9, 1.1, (1, 8, 3)), jnp.float64)
+    s = np.array([0.03, -0.02, 0.05])
+    m = 1.3
+    pts, ms = np.array([s, -s]), np.array([m, m])
+    x = np.asarray(tgt[0])
+    a_ex = np.zeros((8, 3))
+    for p, w in zip(pts, ms):
+        d = p[None] - x
+        r = np.linalg.norm(d, axis=1, keepdims=True)
+        a_ex += w * d / r**3
+
+    q5 = _quad_about(jnp.asarray(pts)[None], jnp.asarray(ms)[None])  # (1, 5)
+    nodes = jnp.concatenate(
+        [jnp.zeros((1, 3)), jnp.asarray([[2 * m]]), q5], axis=1)  # (1, 9)
+    idx = jnp.zeros((1, 8), jnp.int32)
+    valid = jnp.zeros((1, 8), bool).at[0, 0].set(True)
+    acc_q, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
+                                interpret=True)
+    acc_m, _ = far_field_pallas(tgt, nodes[:, :4], idx, valid, 1.0, 0.0,
+                                False, interpret=True)
+    err_q = np.max(np.abs(np.asarray(acc_q) - a_ex))
+    err_m = np.max(np.abs(np.asarray(acc_m) - a_ex))
+    assert err_q < err_m / 100, (err_q, err_m)
+
+    acc_j, _ = _far0_jnp(tgt, jnp.zeros((1, 1, 3)), jnp.asarray([[2 * m]]),
+                         1.0, 0.0, False, 1, node_quad=q5[None])
+    np.testing.assert_allclose(np.asarray(acc_j), np.asarray(acc_q),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_quadrupole_improves_bh_accuracy():
+    """multipole=2 must beat multipole=1 at the same theta (both paths)."""
+    pos, _, mass = _plummer(2048, seed=2, dtype="float64")
+    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.02)
+    scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+    rms_d = float(jnp.sqrt(jnp.mean(jnp.sum(acc_d**2, 1))))
+    errs = {}
+    for mp in (1, 2):
+        for up in (False, True):
+            acc, _, of = bh_accel(pos, mass, leaf_size=32, theta=0.6, g=1.0,
+                                  softening=0.02, near_budget=256,
+                                  use_pallas=up, multipole=mp)
+            assert int(of) == 0
+            errs[(mp, up)] = float(
+                jnp.sqrt(jnp.mean(jnp.sum((acc - acc_d) ** 2, 1)))) / rms_d
+    assert errs[(2, False)] < errs[(1, False)] / 2.5, errs
+    assert errs[(2, True)] < errs[(1, True)] / 2.5, errs
+    np.testing.assert_allclose(errs[(2, True)], errs[(2, False)], rtol=0.2)
