@@ -1,32 +1,36 @@
-"""Barnes-Hut gravity, TPU-style: Morton sort + leaf groups + hierarchical
-monopoles + level-synchronous masked traversal.
+"""Barnes-Hut gravity, TPU-style: Hilbert sort + multipole pyramid +
+level-synchronous masked traversal + per-target interaction lists.
 
 The reference's Barnes-Hut is a heap-allocated pointer octree rebuilt every
 frame and traversed with per-particle recursion (Octree::Add/ComputeMass/
 ComputeForces, OctreeSearch.h:60-108). None of that maps to TPU. The
 TPU-native re-design (SURVEY.md §7 stage 5):
 
-  1. Morton-sort particles (ops/morton.py) — replaces pointer insertion
-     (Octree::Add, h:60-81): sorted order IS the octree linearization.
+  1. Hilbert-sort particles (ops/hilbert.py; Morton optional) — replaces
+     pointer insertion (Octree::Add, h:60-81): sorted order IS the octree
+     linearization, and Hilbert's jump-free locality keeps leaf bounding
+     radii compact.
   2. Group particles into fixed-size leaves (bh_leaf_size consecutive sorted
-     particles) and build an 8-ary tree of monopoles over the leaves by pure
+     particles) and build a multipole pyramid (mass, CoM, bounding radius,
+     optional traceless quadrupole) over the leaves by pure
      reshape-reductions — replaces the recursive post-order mass pass
-     (Octree::ComputeMass, h:83-97), and is load-balanced by construction
-     (equal particle counts per leaf, unlike spatial cells).
-  3. Level-synchronous traversal with dense boolean masks: for every
-     (target-leaf, node) pair at a level, a group multipole-acceptance test
+     (Octree::ComputeMass, h:83-97), load-balanced by construction.
+  3. Level-synchronous traversal with dense boolean masks over the UPPER
+     levels (node counts shrink 8x per level, so these masks are narrow):
+     for every (target-leaf, node) pair, a group multipole-acceptance test
      (the vectorized analogue of `Size/d < Theta`, h:103) either accepts the
-     node's monopole or expands its children into the next level's mask.
-     No recursion, no pointers, static shapes throughout.
-  4. Far field: per level, a dense mask-weighted monopole evaluation of every
-     particle against every node (node counts shrink 8x per level, so the
-     whole pyramid costs ~N * n_leaves/7 plus the leaf level).
-  5. Near field: surviving leaf-leaf pairs get exact particle-particle
-     interactions through a per-target-leaf gathered source list (padded to a
-     static budget; overflow is reported, not silently dropped).
+     node or expands its children. No recursion, no pointers, static shapes.
+  4. Leaf level handled sparsely (`leaf_interactions`): rejected level-1
+     nodes expand to candidate leaves; a second MAC splits candidates into
+     accepted leaf multipoles (far0) and exact near pairs, compacted into
+     padded per-target lists by row sort. A dense leaf-level mask would be
+     the n_leaves^2 memory/compile wall at large N.
+  5. All interaction classes are evaluated by the gathered-chunk Pallas
+     kernels in ops/pallas_bh.py (pure-jnp fallbacks here for CPU). List
+     budget overflow is *reported*, never silently dropped.
 
 The acceptance criterion is the conservative group MAC
-    2 * r_node < theta * (d - r_leaf)
+    MAC_SIZE_SCALE * r_node < theta * (d - r_leaf)
 with r_* tight bounding radii around each group's center of mass, so every
 particle in the target leaf satisfies an effective opening angle <= theta.
 """
@@ -42,7 +46,6 @@ import jax.numpy as jnp
 
 from parallelnbody_tpu.ops.morton import morton_encode
 from parallelnbody_tpu.ops.hilbert import hilbert_encode
-from parallelnbody_tpu.ops.direct import direct_accel_tile
 
 
 class BHTree(NamedTuple):
@@ -266,29 +269,6 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
 
 
 # ----------------------------------------------------------------- near field
-def near_lists(near_mask, budget: int):
-    """Per-target-leaf padded source-leaf lists (front-packed).
-
-    Returns (idx (n_leaves, budget) int32, valid (n_leaves, budget) bool,
-    overflow () int32 = number of near pairs beyond the budget, which the
-    caller should surface in diagnostics; forces are then approximate).
-
-    Built by cumsum-compaction scatter (cheaper than a row sort/top_k at
-    n_leaves in the tens of thousands)."""
-    n_rows, n_cols = near_mask.shape
-    budget = min(budget, n_cols)
-    counts = jnp.sum(near_mask, axis=1, dtype=jnp.int32)
-    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
-    pos_in_row = jnp.cumsum(near_mask, axis=1, dtype=jnp.int32) - 1
-    write_pos = jnp.where(near_mask & (pos_in_row < budget), pos_in_row, budget)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), 1)
-    idx = jnp.zeros((n_rows, budget + 1), jnp.int32).at[rows, write_pos].set(cols)
-    idx = idx[:, :budget]
-    valid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, budget), 1) < counts[:, None]
-    return idx, valid, overflow
-
-
 def _near_field_jnp(pos_sorted, mass_sorted, tgt_leaves, idx, valid,
                     leaf_size, g, eps2, guard_zero):
     """tgt_leaves: (Ls, G, 3) target slice; sources gathered from the full

@@ -175,7 +175,7 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
 
     tgt_t = _to_tgt_t(tgt_leaves)
     cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
-    k_chunk = max(1, 2048 // leaf_size)
+    k_chunk = max(1, 8192 // leaf_size)
     eps2 = float(softening) ** 2
 
     out = jnp.zeros_like(tgt_t)
