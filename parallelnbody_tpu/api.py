@@ -37,8 +37,15 @@ def make_accel_fn(cfg: SimConfig, mass: jax.Array) -> Callable:
         from parallelnbody_tpu.ops.direct import direct_accel
 
         n = mass.shape[0]
-        # Bound memory for medium N in plain jnp: stream row tiles.
-        tile = 256 if (n > 2048 and n % 256 == 0) else 0
+        # Bound memory for medium N in plain jnp: stream row tiles (largest
+        # power-of-two divisor of N up to 1024; N <= 2048 fits unblocked).
+        tile = 0
+        if n > 2048:
+            tile = 1
+            for t in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2):
+                if n % t == 0:
+                    tile = t
+                    break
         return lambda pos: direct_accel(pos, mass, g=cfg.g, softening=cfg.softening, tile=tile)
     if method == "direct_pallas":
         from parallelnbody_tpu.ops.pallas_direct import make_pallas_accel
