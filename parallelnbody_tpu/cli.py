@@ -113,6 +113,24 @@ def cmd_run(args) -> int:
                 runs[k] = make_run(cfg, k)
             return runs[k](s)
 
+    if cfg.resolve_force() == "barnes_hut" and not sharded:
+        # Budget audit: clipped interaction-list entries are lost forces, so
+        # surface the overflow before a long run (see ops/bh.py).
+        from parallelnbody_tpu.ops.bh import bh_accel, use_pallas_bh
+
+        _, _, ovf = bh_accel(
+            state.pos, state.mass, leaf_size=cfg.bh_leaf_size,
+            theta=cfg.theta, g=cfg.g, softening=cfg.softening,
+            near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget,
+            use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
+            multipole=cfg.bh_multipole)
+        ovf = int(jax.device_get(ovf))
+        if ovf and not args.quiet:
+            print(f"WARNING: Barnes-Hut budgets clipped {ovf} interaction-list "
+                  f"entries; raise --bh-near-budget/--bh-far-budget or theta "
+                  f"(forces are degraded for the affected particles)",
+                  file=sys.stderr)
+
     traj = TrajectoryWriter(cfg.snapshot_dir, cfg) if cfg.snapshot_every else None
     metrics = MetricsLogger(args.metrics, echo=not args.quiet)
 

@@ -439,7 +439,7 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
         interpret = jax.default_backend() != "tpu"
         acc, pot = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
                                     g, float(softening), guard_zero,
-                                    interpret=interpret)
+                                    interpret=interpret, front_packed=False)
         a, ph = far_field_pallas(tgt_leaves, leaf_nodes, far0_idx, far0_valid,
                                  g, float(softening), guard_zero,
                                  interpret=interpret)

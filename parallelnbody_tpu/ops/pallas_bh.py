@@ -194,21 +194,31 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "softening", "guard_zero", "interpret"),
+    static_argnames=("g", "softening", "guard_zero", "interpret",
+                     "front_packed"),
 )
 def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
-                     interpret=False):
+                     interpret=False, front_packed=True):
     """Multipole far field: targets (Ls, G, 3) against per-target lists of
     accepted nodes idx/valid (Ls, B) over the global node table — (n, 4)
     [com, mass] monopole or (n, 9) [com, mass, Qxx, Qyy, Qxy, Qxz, Qyz]
     quadrupole (any mix of tree levels — the lists encode the structure, so
-    upper-level and leaf-level nodes share one kernel)."""
+    upper-level and leaf-level nodes share one kernel).
+
+    front_packed=False: `valid` is a raw scattered mask (e.g. the dense
+    upper-level acceptance mask used as a full-width list) — chunk skipping
+    by a per-target count would drop valid entries past the count, so every
+    chunk is evaluated (invalid entries contribute nothing via zeroed
+    moments)."""
     budget = idx.shape[1]
     dtype = tgt_leaves.dtype
     nodes_t = nodes.T  # (C, n_nodes): gather along lanes, no C->128 padding
 
     tgt_t = _to_tgt_t(tgt_leaves)
-    cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
+    if front_packed:
+        cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
+    else:
+        cnt = jnp.full((tgt_leaves.shape[0], 1), budget, jnp.int32)
     chunk = min(512, budget)
     eps2 = float(softening) ** 2
 

@@ -254,3 +254,24 @@ def test_quadrupole_improves_bh_accuracy():
     assert errs[(2, False)] < errs[(1, False)] / 2.5, errs
     assert errs[(2, True)] < errs[(1, True)] / 2.5, errs
     np.testing.assert_allclose(errs[(2, True)], errs[(2, False)], rtol=0.2)
+
+
+def test_upper_far_list_not_front_packed():
+    """The upper-level far 'list' is a raw scattered mask; sources past the
+    per-target count must NOT be chunk-skipped. Regression test: a single
+    far source with a high node id and a budget > chunk size."""
+    from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
+
+    rng = np.random.default_rng(3)
+    tgt = jnp.asarray(rng.uniform(-0.1, 0.1, (1, 8, 3)), jnp.float64)
+    n_nodes = 700  # > the 512 chunk size
+    nodes = jnp.zeros((n_nodes, 4), jnp.float64)
+    nodes = nodes.at[600, :3].set(jnp.asarray([2.0, 0.0, 0.0]))
+    nodes = nodes.at[600, 3].set(5.0)
+    idx = jnp.broadcast_to(jnp.arange(n_nodes, dtype=jnp.int32)[None], (1, n_nodes))
+    valid = jnp.zeros((1, n_nodes), bool).at[0, 600].set(True)
+
+    acc, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
+                              interpret=True, front_packed=False)
+    # count=1 < chunk_start=512 would have skipped the only real source.
+    assert float(jnp.min(jnp.abs(acc[:, 0]))) > 0.5
