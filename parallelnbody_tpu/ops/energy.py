@@ -20,7 +20,12 @@ def kinetic_energy(vel, mass):
 
 def potential_energy(pot, mass):
     """Total PE from per-particle potentials phi_i = -G sum_j m_j / r_ij.
-    The 1/2 corrects double counting of pairs."""
+    The 1/2 corrects double counting of pairs.
+
+    With softening > 0 every force method (direct, Pallas, Barnes-Hut, and
+    the C++ oracle) consistently includes the constant self-term
+    -G m_i / eps in phi_i, so absolute PE carries a fixed self-energy offset
+    while drifts and differences are unaffected."""
     return 0.5 * jnp.sum(mass * pot)
 
 
