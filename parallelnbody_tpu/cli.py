@@ -258,7 +258,7 @@ def cmd_render(args) -> int:
     from parallelnbody_tpu.utils.render import render_trajectory
 
     written = render_trajectory(args.traj_dir, args.out, size=args.size,
-                                plane=args.plane)
+                                plane=args.plane, fmt=args.fmt)
     print(json.dumps({"frames_rendered": len(written),
                       "out_dir": str(written[0].parent) if written else None}))
     return 0
@@ -314,6 +314,7 @@ def main(argv=None) -> int:
     pv.add_argument("--out", type=str, default=None)
     pv.add_argument("--size", type=int, default=512)
     pv.add_argument("--plane", choices=("xy", "xz", "yz"), default="xy")
+    pv.add_argument("--fmt", choices=("png", "ppm"), default="png")
     pv.set_defaults(fn=cmd_render)
 
     args = p.parse_args(argv)

@@ -10,11 +10,31 @@ An ASCII PLY exporter feeds real 3D tools (Blender/MeshLab/UE-style viewers).
 from __future__ import annotations
 
 import json
+import struct
+import zlib
 from pathlib import Path
 
 import numpy as np
 
 _AXES = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}
+
+
+def write_png(path, img) -> Path:
+    """Minimal PNG writer (stdlib zlib only). img: (H, W, 3) uint8."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag, data):
+        out = struct.pack(">I", len(data)) + tag + data
+        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    path.write_bytes(png)
+    return path
 
 
 def render_ppm(pos, mass=None, *, size=512, plane="xy", extent=None,
@@ -48,9 +68,12 @@ def render_ppm(pos, mass=None, *, size=512, plane="xy", extent=None,
     if path:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(f"P6 {size} {size} 255\n".encode())
-            f.write(img.tobytes())
+        if path.suffix == ".png":
+            write_png(path, img)
+        else:
+            with open(path, "wb") as f:
+                f.write(f"P6 {size} {size} 255\n".encode())
+                f.write(img.tobytes())
     return img
 
 
@@ -77,8 +100,10 @@ def export_ply(path, pos, mass=None) -> Path:
 
 
 def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
-                      extent=None) -> list:
-    """Render every frame of a TrajectoryWriter manifest to PPM images."""
+                      extent=None, fmt="png") -> list:
+    """Render every frame of a TrajectoryWriter manifest to PNG/PPM images.
+    Uses a common extent across frames (from the first frame) so the
+    sequence animates coherently."""
     traj_dir = Path(traj_dir)
     out_dir = Path(out_dir) if out_dir else traj_dir / "frames"
     manifest = json.loads((traj_dir / "manifest.json").read_text())
@@ -86,7 +111,10 @@ def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
     for frame in manifest["frames"]:
         with np.load(traj_dir / frame["file"]) as z:
             pos, mass = z["pos"], z["mass"]
-        out = out_dir / (Path(frame["file"]).stem + f"_{plane}.ppm")
+        if extent is None:
+            ax = _AXES[plane]
+            extent = float(np.percentile(np.abs(np.asarray(pos)[:, ax]), 99.0)) * 1.3 or 1.0
+        out = out_dir / (Path(frame["file"]).stem + f"_{plane}.{fmt}")
         render_ppm(pos, mass, size=size, plane=plane, extent=extent, path=out)
         written.append(out)
     return written
