@@ -79,6 +79,23 @@ def cmd_run(args) -> int:
     from parallelnbody_tpu.utils.profiling import profile_trace, force_sync
 
     cfg = _build_config(args)
+
+    state = None
+    if args.resume:
+        ckpt = latest_checkpoint(cfg.checkpoint_dir)
+        if ckpt:
+            state, cfg = load_checkpoint(ckpt)
+            # Explicit CLI flags still win over the checkpointed config (the
+            # mesh decision below is then derived from the final cfg).
+            overrides = {f.name: getattr(args, f.name)
+                         for f in dataclasses.fields(SimConfig)
+                         if getattr(args, f.name, None) is not None
+                         and f.name != "n"}
+            if args.devices:
+                overrides["mesh_shape"] = (args.devices,)
+            cfg = cfg.replace(**overrides)
+            print(f"resumed from {ckpt} at step {int(state.step)}", file=sys.stderr)
+
     sharded = cfg.n_devices > 1
     if sharded:
         from parallelnbody_tpu.parallel import make_ring_mesh, shard_state
@@ -87,14 +104,27 @@ def cmd_run(args) -> int:
 
         mesh = make_ring_mesh(cfg.n_devices)
 
-    state = None
-    if args.resume:
-        ckpt = latest_checkpoint(cfg.checkpoint_dir)
-        if ckpt:
-            state, cfg = load_checkpoint(ckpt)
-            print(f"resumed from {ckpt} at step {int(state.step)}", file=sys.stderr)
     if state is None:
         state = init_simulation(cfg)
+
+    if cfg.resolve_force() == "barnes_hut":
+        # Budget audit (single-chip and sharded runs alike — run it on the
+        # not-yet-sharded state): clipped interaction-list entries are lost
+        # forces, so surface the overflow before a long run (see ops/bh.py).
+        from parallelnbody_tpu.ops.bh import bh_accel, use_pallas_bh
+
+        _, _, ovf = bh_accel(
+            state.pos, state.mass, leaf_size=cfg.bh_leaf_size,
+            theta=cfg.theta, g=cfg.g, softening=cfg.softening,
+            near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget,
+            use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
+            multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
+        ovf = int(jax.device_get(ovf))
+        if ovf and not args.quiet:
+            print(f"WARNING: Barnes-Hut budgets clipped {ovf} interaction-list "
+                  f"entries; raise --bh-near-budget/--bh-far-budget or theta "
+                  f"(forces are degraded for the affected particles)",
+                  file=sys.stderr)
 
     if sharded:
         state = shard_state(state, mesh)
@@ -113,28 +143,20 @@ def cmd_run(args) -> int:
                 runs[k] = make_run(cfg, k)
             return runs[k](s)
 
-    if cfg.resolve_force() == "barnes_hut" and not sharded:
-        # Budget audit: clipped interaction-list entries are lost forces, so
-        # surface the overflow before a long run (see ops/bh.py).
-        from parallelnbody_tpu.ops.bh import bh_accel, use_pallas_bh
-
-        _, _, ovf = bh_accel(
-            state.pos, state.mass, leaf_size=cfg.bh_leaf_size,
-            theta=cfg.theta, g=cfg.g, softening=cfg.softening,
-            near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget,
-            use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
-            multipole=cfg.bh_multipole)
-        ovf = int(jax.device_get(ovf))
-        if ovf and not args.quiet:
-            print(f"WARNING: Barnes-Hut budgets clipped {ovf} interaction-list "
-                  f"entries; raise --bh-near-budget/--bh-far-budget or theta "
-                  f"(forces are degraded for the affected particles)",
-                  file=sys.stderr)
-
     traj = TrajectoryWriter(cfg.snapshot_dir, cfg) if cfg.snapshot_every else None
     metrics = MetricsLogger(args.metrics, echo=not args.quiet)
 
+    pot_fn = None
+    if not cfg.track_potential:
+        # Hot steps skip the per-step potential (pot stays zeros); recompute
+        # it at diagnostics cadence so logged energy/drift are meaningful
+        # (mirrors api.Simulation.diagnostics).
+        _accel_pot = make_accel_fn(cfg.replace(track_potential=True), state.mass)
+        pot_fn = jax.jit(lambda pos: _accel_pot(pos)[1])
+
     def diag(s: SimState) -> dict:
+        if pot_fn is not None:
+            s = s._replace(pot=pot_fn(s.pos))
         d = {k: float(v) for k, v in energy_ops.diagnostics(s).items()}
         return d
 
@@ -178,6 +200,7 @@ def cmd_run(args) -> int:
     summary = {
         "steps": cfg.steps,
         "n": cfg.n,
+        "force": cfg.resolve_force(),
         "wall_s": total,
         "steps_per_sec": cfg.steps / total,
         "energy_drift": (d1["energy"] - e0) / abs(e0 or 1.0),

@@ -114,13 +114,23 @@ class SimConfig:
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 
+    # Measured v5e crossover (BENCH_RESULTS.md): at N=262144 Barnes-Hut takes
+    # 151 ms/step vs 387 ms for the Pallas all-pairs kernel, and the O(N^2)/
+    # O(N log N) gap only widens above. Below ~1e5 the all-pairs kernel's
+    # simplicity (no lists, no budgets) and accuracy win.
+    AUTO_BH_CROSSOVER = 131072
+
     def resolve_force(self, backend: str | None = None) -> str:
-        """Resolve force='auto' to a concrete method for the current backend."""
+        """Resolve force='auto' to a concrete method for the current backend:
+        Barnes-Hut above AUTO_BH_CROSSOVER, the Pallas all-pairs kernel on
+        TPU below it (plain jnp direct sum elsewhere / at trivial N)."""
         if self.force != "auto":
             return self.force
         import jax
 
         backend = backend or jax.default_backend()
+        if self.n >= self.AUTO_BH_CROSSOVER:
+            return "barnes_hut"
         # The Pallas kernel wins on TPU for anything beyond trivial N (and
         # compiles far faster than the fused O(N^2) jnp graph).
         if backend == "tpu" and self.n >= 512:

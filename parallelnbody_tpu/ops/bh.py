@@ -91,7 +91,7 @@ def _quad_about(d, w):
 
 
 def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel,
-               multipole_order: int = 1) -> BHTree:
+               multipole_order: int = 1, max_levels: int = 12) -> BHTree:
     """Multipole pyramid from curve-sorted particles.
 
     multipole_order: 1 = monopole only; 2 = + traceless quadrupoles
@@ -119,7 +119,7 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel,
     quad = _quad_about(d, m) if multipole_order >= 2 else None
 
     coms, masses, radii, quads = [com], [msum], [radius], [quad]
-    while coms[-1].shape[0] > 1:
+    while coms[-1].shape[0] > 1 and len(coms) < max_levels:
         n_k = coms[-1].shape[0]
         b = 8 if (n_k % 8 == 0 and n_k >= 8) else n_k
         c = coms[-1].reshape(-1, b, 3)
@@ -353,12 +353,12 @@ def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
 
 
 # ------------------------------------------------------------------- assembly
-def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1):
+def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
     """Pad, curve-sort, and build the monopole pyramid. Returns
     (pos_s, mass_s, perm, tree, n, n_pad)."""
     n = pos.shape[0]
     dtype = pos.dtype
-    n_leaves, n_pad, _ = plan_tree(n, leaf_size)
+    n_leaves, n_pad, _ = plan_tree(n, leaf_size, max_levels)
 
     # Domain cube (reference ComputeCubeSize semantics: max extent —
     # OctreeSearch.cpp:47-56 — centered on the particle bounding box for
@@ -385,7 +385,7 @@ def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1):
     pos_s = pos_p[perm]
     mass_s = mass_p[perm]
     tree = build_tree(pos_s, mass_s, leaf_size, sentinel,
-                      multipole_order=multipole_order)
+                      multipole_order=multipole_order, max_levels=max_levels)
     return pos_s, mass_s, perm, tree, n, n_pad
 
 
@@ -482,11 +482,12 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
-                     "far0_budget", "use_pallas", "curve", "multipole"),
+                     "far0_budget", "use_pallas", "curve", "multipole",
+                     "max_levels"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
-             curve="hilbert", multipole=1):
+             curve="hilbert", multipole=1, max_levels=12):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
@@ -494,7 +495,8 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     cfg.bh_far_budget).
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
-        pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole)
+        pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole,
+        max_levels=max_levels)
     far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     acc, pot, overflow = _forces_sorted(
@@ -511,7 +513,7 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
 
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
                           theta, g, softening, near_budget, far0_budget,
-                          use_pallas, curve, multipole=1):
+                          use_pallas, curve, multipole=1, max_levels=12):
     """Multi-chip building block (replicated tree, partitioned targets):
     compute forces only for the rank-th slice of target leaves.
 
@@ -523,18 +525,36 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos_all, mass_all, leaf_size=leaf_size, curve=curve,
-        multipole_order=multipole)
+        multipole_order=multipole, max_levels=max_levels)
     far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
-    if n_leaves % n_ranks:
-        raise ValueError(f"n_leaves={n_leaves} not divisible by {n_ranks} chips")
-    n_slice = n_leaves // n_ranks
+    # Any rank count: slices of ceil(n_leaves / n_ranks) leaves; the trailing
+    # ranks' windows are clamped into range (dynamic_slice semantics), so
+    # they recompute a few leaves already covered by the previous rank —
+    # harmless duplicated work, and the caller's row map (slice_row_of_sorted)
+    # picks a consistent copy.
+    n_slice = -(-n_leaves // n_ranks)
+    start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
     acc, pot, overflow = _forces_sorted(
         pos_s, mass_s, tree, far_masks, rejects_l1,
-        start_leaf=rank * n_slice, n_slice=n_slice, leaf_size=leaf_size,
+        start_leaf=start, n_slice=n_slice, leaf_size=leaf_size,
         theta=theta, g=g, softening=softening, near_budget=near_budget,
         far0_budget=far0_budget, use_pallas=use_pallas)
     return acc, pot, perm, overflow
+
+
+def slice_row_of_sorted(sorted_idx, n_leaves, n_ranks, leaf_size):
+    """Row in the rank-concatenated slice results for each sorted index.
+
+    With n_slice = ceil(n_leaves / n_ranks) and rank windows clamped as in
+    bh_accel_target_slice, sorted leaf L is covered by rank
+    min(L // n_slice, n_ranks - 1) (possibly by more when windows overlap;
+    this picks that canonical one)."""
+    n_slice = -(-n_leaves // n_ranks)
+    leaf = sorted_idx // leaf_size
+    rank = jnp.minimum(leaf // n_slice, n_ranks - 1)
+    start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
+    return rank * (n_slice * leaf_size) + (sorted_idx - start * leaf_size)
 
 
 def use_pallas_bh() -> bool:
@@ -560,7 +580,7 @@ def make_bh_accel(cfg, mass):
             softening=cfg.softening, near_budget=cfg.bh_near_budget,
             far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas, curve=cfg.bh_curve,
-            multipole=cfg.bh_multipole,
+            multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
         )
         return acc, pot
 

@@ -36,18 +36,24 @@ def _make_tile_fn(cfg: SimConfig, n_local: int):
     return None  # ring_accel defaults to the jnp tile
 
 
-def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str):
+def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
+                      with_overflow: bool = False):
     """Multi-chip Barnes-Hut: replicated tree, partitioned target leaves
     (SURVEY.md §7 stage 6).
 
     Every chip all-gathers (pos, mass) over ICI, redundantly sorts and builds
     the monopole pyramid (compute is cheap and replicated => zero comm), then
-    evaluates far+near kernels only for its 1/P slice of target leaves. The
-    sorted-order result slices are all-gathered back and each chip picks the
-    rows of its own particles via the (replicated) sort permutation. Comm per
-    force evaluation: two all_gathers of ~N*16 bytes.
-    """
-    from parallelnbody_tpu.ops.bh import bh_accel_target_slice, use_pallas_bh
+    evaluates far+near kernels only for its ~1/P slice of target leaves (any
+    rank count: trailing windows clamp and overlap; slice_row_of_sorted maps
+    each sorted index to its canonical slice row). The slice results are
+    all-gathered back and each chip picks the rows of its own particles via
+    the (replicated) sort permutation. Comm per force evaluation: two
+    all_gathers of ~N*16 bytes.
+
+    with_overflow=True additionally returns the psum'd list-budget overflow
+    counter (clipped entries are degraded forces — see ops/bh.py)."""
+    from parallelnbody_tpu.ops.bh import (
+        bh_accel_target_slice, plan_tree, slice_row_of_sorted, use_pallas_bh)
 
     n_ranks = jax.lax.axis_size(axis)
     rank = jax.lax.axis_index(axis)
@@ -56,21 +62,27 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str):
     pos_all = jax.lax.all_gather(pos_local, axis, axis=0, tiled=True)
     mass_all = jax.lax.all_gather(mass_local, axis, axis=0, tiled=True)
 
-    acc_sl, pot_sl, perm, _overflow = bh_accel_target_slice(
+    acc_sl, pot_sl, perm, overflow = bh_accel_target_slice(
         pos_all, mass_all, rank, n_ranks,
         leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
         softening=cfg.softening, near_budget=cfg.bh_near_budget,
         far0_budget=cfg.bh_far_budget,
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
-        multipole=cfg.bh_multipole,
+        multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
     )
-    acc_sorted = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
-    pot_sorted = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)
+    acc_g = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
+    pot_g = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)
 
+    n_leaves, _, _ = plan_tree(pos_all.shape[0], cfg.bh_leaf_size,
+                               cfg.bh_max_levels)
     inv_perm = jnp.argsort(perm)  # replicated: sorted position of each orig id
     my_ids = rank * n_local + jnp.arange(n_local)
-    rows = inv_perm[my_ids]
-    return acc_sorted[rows], pot_sorted[rows]
+    rows = slice_row_of_sorted(inv_perm[my_ids], n_leaves, n_ranks,
+                               cfg.bh_leaf_size)
+    if with_overflow:
+        total_overflow = jax.lax.psum(overflow, axis)
+        return acc_g[rows], pot_g[rows], total_overflow
+    return acc_g[rows], pot_g[rows]
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Callable:
@@ -122,6 +134,27 @@ def make_sharded_run(cfg: SimConfig, mesh: Mesh, n_steps: int, axis: str = RING_
         return state
 
     return run
+
+
+def sharded_bh_overflow(cfg: SimConfig, mesh: Mesh, state: SimState,
+                        axis: str = RING_AXIS) -> int:
+    """Total BH list-budget overflow across the mesh for a sharded state.
+
+    The budget-audit side channel for multi-chip Barnes-Hut runs: clipped
+    interaction-list entries silently degrade forces (ops/bh.py's contract is
+    that overflow is reported, never dropped), so call this before a long
+    sharded run. Overlapping trailing rank windows may double-count a clipped
+    leaf; the counter is a warning signal, zero means exactly zero."""
+    specs = state_pspecs(axis)
+
+    def local(state: SimState):
+        _, _, overflow = _bh_sharded_accel(state.pos, state.mass, cfg, axis,
+                                           with_overflow=True)
+        return overflow
+
+    fn = shard_map(local, mesh=mesh, in_specs=(specs,), out_specs=P(),
+                   check_vma=False)
+    return int(jax.device_get(jax.jit(fn)(state)))
 
 
 def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = RING_AXIS) -> SimState:

@@ -104,9 +104,22 @@ class TrajectoryWriter:
         self.positions_only = positions_only
         self.frames: list[dict] = []
         self._cfg = cfg
+        # A resumed run pointing at an existing snapshot dir appends to the
+        # replay sequence instead of truncating it (frames past the resume
+        # step are dropped: the rerun overwrites them).
+        manifest = self.dir / "manifest.json"
+        if manifest.is_file():
+            try:
+                self.frames = json.loads(manifest.read_text()).get("frames", [])
+            except (json.JSONDecodeError, OSError):
+                self.frames = []
 
     def append(self, state: SimState) -> Path:
         step = int(jax.device_get(state.step))
+        self.frames = [f for f in self.frames if f["step"] < step]
+        return self._append(state, step)
+
+    def _append(self, state: SimState, step: int) -> Path:
         t = float(jax.device_get(state.time))
         path = self.dir / f"snap_{step:010d}.npz"
         if self.positions_only:

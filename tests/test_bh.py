@@ -129,6 +129,26 @@ def test_bh_momentum_approximately_conserved():
     assert np.linalg.norm(f) / fscale < 2e-3
 
 
+def test_bh_max_levels_cap():
+    """A capped pyramid (top level holds many nodes) stays correct: the
+    traversal starts from whatever the top level is (cfg.bh_max_levels)."""
+    from parallelnbody_tpu.ops.bh import plan_tree
+
+    pos, _, mass = _plummer(2048, seed=11, dtype="float64")
+    acc_full, _, _ = bh_accel(pos, mass, leaf_size=32, theta=0.3, g=1.0,
+                              softening=0.02, near_budget=512)
+    n_leaves, _, levels = plan_tree(2048, 32, max_levels=2)
+    assert levels == 2
+    acc_cap, _, ovf = bh_accel(pos, mass, leaf_size=32, theta=0.3, g=1.0,
+                               softening=0.02, near_budget=512, max_levels=2)
+    assert int(ovf) == 0
+    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.02)
+    scale = float(jnp.max(jnp.linalg.norm(acc_d, axis=1)))
+    for acc in (acc_full, acc_cap):
+        err = float(jnp.max(jnp.linalg.norm(acc - acc_d, axis=1))) / scale
+        assert err < 5e-3, err
+
+
 def test_bh_overflow_reported():
     """A tiny near budget must be reported, not silently wrong."""
     pos, _, mass = _plummer(2048, seed=8)

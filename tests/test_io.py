@@ -65,3 +65,24 @@ def test_trajectory_writer(tmp_path):
     with np.load(tmp_path / "traj" / manifest["frames"][-1]["file"]) as z:
         assert z["pos"].shape == (128, 3)
         assert z["mass"].shape == (128,)
+
+
+def test_trajectory_writer_appends_on_resume(tmp_path):
+    """A second writer on the same dir extends the manifest instead of
+    truncating it (ADVICE r1), dropping only replayed-over frames."""
+    state = init_simulation(CFG)
+    step = make_step(CFG)
+    w = TrajectoryWriter(tmp_path / "traj", CFG)
+    for _ in range(3):
+        state = step(state)
+        w.append(state)          # steps 1, 2, 3
+
+    resumed = TrajectoryWriter(tmp_path / "traj", CFG)
+    assert [f["step"] for f in resumed.frames] == [1, 2, 3]
+    # Re-run from step 2: frame 3 is replayed-over and must be dropped.
+    state3 = state
+    resumed.append(state3._replace(step=state3.step * 0 + 3))
+    state4 = step(state3)._replace()
+    resumed.append(state4._replace(step=state4.step * 0 + 4))
+    manifest = json.loads((tmp_path / "traj" / "manifest.json").read_text())
+    assert [f["step"] for f in manifest["frames"]] == [1, 2, 3, 4]

