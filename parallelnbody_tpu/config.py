@@ -64,10 +64,16 @@ class SimConfig:
 
     # --- Barnes-Hut parameters ---
     bh_leaf_size: int = 256        # particles per Morton leaf group
-    bh_near_budget: int = 1024     # max exact-interaction source leaves per
-                                   # target leaf (overflow reported)
-    bh_far_budget: int = 3072      # max accepted leaf-level monopoles per
-                                   # target leaf (overflow reported)
+    bh_near_budget: int = 3584     # max exact-interaction source leaves per
+                                   # target leaf (self-clamps to n_leaves;
+                                   # overflow reported). Fat sparse-region
+                                   # leaves can be near almost everything
+                                   # (measured max 3488 of 4096 at N=1M), and
+                                   # the budget costs list width, not
+                                   # compute, so default to covering it.
+    bh_far_budget: int = 2560      # max accepted leaf-level monopoles per
+                                   # target leaf (overflow reported; N=1M
+                                   # theta=0.72 measured max ~1300)
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)
     bh_multipole: int = 2          # 1 = monopole, 2 = + traceless quadrupole

@@ -207,7 +207,11 @@ def _row_compact(mask, fill_idx, budget):
 
     Sort-based: masked-out entries get a sentinel key and sort to the back —
     one row sort instead of a scatter (TPU scatters are an order of magnitude
-    slower at these sizes)."""
+    slower at these sizes). A cumsum + binary-search variant (log2(C) rounds
+    of take_along_axis) was measured 6x SLOWER than the sort at (4096, 2560)
+    on v5e — lane-wise take_along_axis hits the slow row-gather path, so the
+    sort stays. Requires ascending fill_idx per row for the output to remain
+    ascending (all callers pass iota-derived candidates)."""
     n_rows, n_cols = mask.shape
     budget = min(budget, n_cols)
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
@@ -223,13 +227,25 @@ def _row_compact(mask, fill_idx, budget):
 def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
                       start_leaf, n_slice, near_budget: int,
                       far0_budget: int):
-    """Refine rejected level-1 nodes to leaf granularity, sparsely, for the
-    target-leaf slice [start_leaf, start_leaf + n_slice).
+    """Refine rejected level-1 nodes to leaf granularity for the target-leaf
+    slice [start_leaf, start_leaf + n_slice).
 
     Each rejected level-1 node contributes its `branch` child leaves as
     candidates; the leaf-level MAC splits candidates into accepted leaf
     monopoles (far0) and exact near pairs. Returns
-    (near_idx, near_valid, far0_idx, far0_valid, overflow)."""
+    (near_idx, near_valid, far0_idx, far0_valid, overflow).
+
+    DENSE formulation: the candidate mask and the leaf MAC are computed over
+    the full (n_slice, n_leaves) plane with component-wise broadcasts, then
+    front-packed by two row sorts. The round-1 sparse pipeline (compact l1
+    rejects -> expand -> gather candidate geometry) spent 313 of its 326 ms
+    at N=1M in the candidate gathers — (n_slice, C)-indexed gathers from 1-D
+    leaf tables run at ~0.5 GB/s effective on v5e — while dense broadcasts
+    and row sorts run at memory bandwidth. Dense is also exact: no l1
+    compaction budget, so that overflow class is gone. Memory is
+    O(n_slice * n_leaves) bools/f32 (67 MB at N=1M/leaf=256) — the multi-chip
+    path keeps n_slice at n_leaves / n_ranks, and leaf_size should scale with
+    N to hold n_leaves ~ 4-8k."""
     leaf_com, leaf_r = tree.com[0], tree.radius[0]
     n_leaves = leaf_com.shape[0]
     branch = n_leaves // tree.com[1].shape[0]
@@ -238,34 +254,27 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
     tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
     tgt_r = jax.lax.dynamic_slice_in_dim(leaf_r, start_leaf, n_slice, 0)
 
-    # Compact rejected level-1 nodes, then expand to candidate leaves.
-    # Each rejected node expands to `branch` candidates that land in either
-    # list, so the l1 budget covers both lists' worth of candidates.
-    l1_budget = -(-(near_budget + far0_budget) // branch)
-    cols = jax.lax.broadcasted_iota(jnp.int32, rej.shape, 1)
-    idx1, valid1, of1 = _row_compact(rej, cols, l1_budget)
-    cand = (idx1[:, :, None] * branch
-            + jnp.arange(branch, dtype=jnp.int32)[None, None, :]
-            ).reshape(n_slice, -1)                     # (Ls, l1_budget*branch)
-    cand_valid = jnp.repeat(valid1, branch, axis=1)
-
-    # Leaf-level MAC per candidate. Component-wise gathers from the
-    # transposed (3, n_leaves) table: a (Ls, C, 3) gather would be padded
-    # 3 -> 128 lanes by the TPU layout (42x memory).
-    leaf_com_t = leaf_com.T  # (3, n_leaves)
-    d2 = jnp.zeros(cand.shape, leaf_com.dtype)
+    # Dense leaf-level MAC, component-wise (a (Ls, n_leaves, 3) difference
+    # tensor would be lane-padded 3 -> 128 by the TPU layout).
+    d2 = jnp.zeros((n_slice, n_leaves), leaf_com.dtype)
     for c in range(3):
-        dc = leaf_com_t[c][cand] - tgt_com[:, c][:, None]
+        dc = leaf_com[:, c][None, :] - tgt_com[:, c][:, None]
         d2 = d2 + dc * dc
-    c_r = leaf_r[cand]
     d = jnp.sqrt(d2)
-    mac0 = (MAC_SIZE_SCALE * c_r) < (theta * (d - tgt_r[:, None]))
+    mac0 = (MAC_SIZE_SCALE * leaf_r[None, :]) < (theta * (d - tgt_r[:, None]))
 
-    near_idx, near_valid, of_n = _row_compact(cand_valid & ~mac0, cand,
+    # Candidates = children of rejected level-1 nodes, as a broadcast (no
+    # materialized repeat): column j is a candidate iff rej[:, j // branch].
+    cand_valid3 = jnp.broadcast_to(rej[:, :, None],
+                                   (n_slice, n_leaves // branch, branch))
+    cand_valid = cand_valid3.reshape(n_slice, n_leaves)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_slice, n_leaves), 1)
+    near_idx, near_valid, of_n = _row_compact(cand_valid & ~mac0, cols,
                                               near_budget)
-    far0_idx, far0_valid, of_f = _row_compact(cand_valid & mac0, cand,
+    far0_idx, far0_valid, of_f = _row_compact(cand_valid & mac0, cols,
                                               far0_budget)
-    return near_idx, near_valid, far0_idx, far0_valid, of1 + of_n + of_f
+    return near_idx, near_valid, far0_idx, far0_valid, of_n + of_f
 
 
 # ----------------------------------------------------------------- near field
@@ -391,7 +400,7 @@ def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
 
 def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
                    n_slice, leaf_size, theta, g, softening, near_budget,
-                   far0_budget, use_pallas):
+                   far0_budget, use_pallas, compute_pot=True):
     """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
     in sorted order. start_leaf may be traced (multi-chip target partition).
     Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
@@ -425,11 +434,16 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
     nodes_up = jnp.concatenate(
         [node_table(k) for k in range(1, tree.n_levels)], axis=0)
     n_up = nodes_up.shape[0]
-    up_valid = jnp.concatenate(
+    up_mask = jnp.concatenate(
         [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
          for k in range(1, tree.n_levels)], axis=1)
-    up_idx = jnp.broadcast_to(
-        jnp.arange(n_up, dtype=jnp.int32)[None, :], (n_slice, n_up))
+    # Front-pack the (narrow) dense acceptance mask so the kernel's chunk
+    # skipping bites: mean accepted count is ~half the width (measured 274 of
+    # 585 at N=1M), and the compacting row sort costs ~3 ms vs the ~15 ms of
+    # far-kernel time the skipped chunks save. Budget = full width -> the
+    # compaction cannot overflow.
+    cols_up = jax.lax.broadcasted_iota(jnp.int32, up_mask.shape, 1)
+    up_idx, up_valid, _ = _row_compact(up_mask, cols_up, n_up)
     leaf_nodes = node_table(0)
 
     if use_pallas:
@@ -439,14 +453,16 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
         interpret = jax.default_backend() != "tpu"
         acc, pot = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
                                     g, float(softening), guard_zero,
-                                    interpret=interpret, front_packed=False)
+                                    interpret=interpret,
+                                    compute_pot=compute_pot)
         a, ph = far_field_pallas(tgt_leaves, leaf_nodes, far0_idx, far0_valid,
                                  g, float(softening), guard_zero,
-                                 interpret=interpret)
+                                 interpret=interpret, compute_pot=compute_pot)
         acc, pot = acc + a, pot + ph
         a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, near_idx,
                                   near_valid, leaf_size, g, float(softening),
-                                  guard_zero, interpret=interpret)
+                                  guard_zero, interpret=interpret,
+                                  compute_pot=compute_pot)
         acc, pot = acc + a, pot + ph
     else:
         def far_list_jnp(nodes_table, idx, valid, chunk):
@@ -483,11 +499,11 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
                      "far0_budget", "use_pallas", "curve", "multipole",
-                     "max_levels"),
+                     "max_levels", "compute_pot"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
-             curve="hilbert", multipole=1, max_levels=12):
+             curve="hilbert", multipole=1, max_levels=12, compute_pot=True):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
@@ -503,12 +519,19 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
         pos_s, mass_s, tree, far_masks, rejects_l1,
         start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
         g=g, softening=softening, near_budget=near_budget,
-        far0_budget=far0_budget, use_pallas=use_pallas)
+        far0_budget=far0_budget, use_pallas=use_pallas,
+        compute_pot=compute_pot)
 
-    # Unsort back to the caller's particle order.
-    acc_out = jnp.zeros_like(acc).at[perm].set(acc)[:n]
-    pot_out = jnp.zeros_like(pot).at[perm].set(pot)[:n]
-    return acc_out, pot_out, overflow
+    # Unsort back to the caller's particle order: a 5-operand row sort keyed
+    # by the permutation (sorted row i belongs at original index perm[i]).
+    # A scatter (.at[perm].set) measured 100 ms at N=1M on v5e; this sort
+    # measured 15 ms (TPU scatters are the slowest reordering primitive;
+    # multi-operand sorts stream at bandwidth).
+    _, ax, ay, az, pot_out = jax.lax.sort(
+        (perm.astype(jnp.int32), acc[:, 0], acc[:, 1], acc[:, 2], pot),
+        num_keys=1)
+    acc_out = jnp.stack([ax, ay, az], axis=1)[:n]
+    return acc_out, pot_out[:n], overflow
 
 
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
@@ -581,6 +604,7 @@ def make_bh_accel(cfg, mass):
             far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas, curve=cfg.bh_curve,
             multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
+            compute_pot=getattr(cfg, "track_potential", True),
         )
         return acc, pot
 

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
-                     chunk_start):
+                     chunk_start, compute_pot=True):
     """One target leaf (1, 4, G) against a gathered source chunk
     (1, S_outer, 4, S_in): S_outer sub-tiles of S_in lane-major sources.
     out: (1, 4, G) = [sum w*dx, sum w*dy, sum w*dz, sum m_j*u]."""
@@ -104,7 +104,8 @@ def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
             ax = ax + jnp.sum(cax, axis=1, keepdims=True)
             ay = ay + jnp.sum(cay, axis=1, keepdims=True)
             az = az + jnp.sum(caz, axis=1, keepdims=True)
-            sp = sp + jnp.sum(csp, axis=1, keepdims=True)
+            if compute_pot:
+                sp = sp + jnp.sum(csp, axis=1, keepdims=True)
 
         out_ref[0] = jnp.concatenate(
             [jnp.transpose(ax), jnp.transpose(ay),
@@ -112,14 +113,14 @@ def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
 
 
 def _gathered_call(tgt_t, src, cnt, *, eps2, guard_zero, chunk_start,
-                   interpret):
+                   interpret, compute_pot=True):
     """tgt_t: (L, 4, G); src: (L, S_outer, 4, S_in); cnt: (L, 1) int32 ->
     (L, 4, G) partial sums for this chunk."""
     n_slice, _, leaf_size = tgt_t.shape
     s_outer, n_comp, s_in = src.shape[1], src.shape[2], src.shape[3]
     return pl.pallas_call(
         functools.partial(_gathered_kernel, eps2=eps2, guard_zero=guard_zero,
-                          chunk_start=chunk_start),
+                          chunk_start=chunk_start, compute_pot=compute_pot),
         out_shape=jax.ShapeDtypeStruct((n_slice, 4, leaf_size), tgt_t.dtype),
         grid=(n_slice,),
         in_specs=[
@@ -156,49 +157,159 @@ def _unpack(out_t, g):
     return g * out[:, :3], -g * out[:, 3]
 
 
+def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
+                       eps2, guard_zero, base, compute_pot=True):
+    """One target leaf (1, 4, G) against its [lo, hi) slice of the near list,
+    reading source tiles (4, G) straight out of the VMEM-resident table
+    segment by dynamic index. No HBM gather, no budget quantization: the
+    fori_loop runs exactly hi-lo iterations."""
+    t = pl.program_id(0)
+    lo = bnd_ref[t % 8, 0]
+    hi = bnd_ref[t % 8, 1]
+    tgt = tgt_ref[0]                      # (4, G)
+    xi = jnp.transpose(tgt[0:1, :])       # (G, 1)
+    yi = jnp.transpose(tgt[1:2, :])
+    zi = jnp.transpose(tgt[2:3, :])
+    zeros = jnp.zeros((xi.shape[0], 1), xi.dtype)
+    unroll = 4
+
+    def one(k, carry):
+        """One list entry: its (G, G) interaction tile. k past hi is masked
+        via zeroed mass (clamped read keeps the index in range)."""
+        ax, ay, az, sp = carry
+        kk = jnp.minimum(k, hi - 1)
+        src = table_ref[idx_ref[t % 8, kk] - base]  # (4, G) dynamic VMEM read
+        xj = src[0:1, :]
+        yj = src[1:2, :]
+        zj = src[2:3, :]
+        mj = src[3:4, :] * (k < hi).astype(src.dtype)
+        dx = xj - xi                            # (G, G)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        u = jax.lax.rsqrt(r2)
+        if guard_zero:
+            u = jnp.where(r2 > 0.0, u, 0.0)
+        mu = mj * u
+        w = mu * (u * u)
+        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
+        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
+        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
+        if compute_pot:
+            sp = sp + jnp.sum(mu, axis=1, keepdims=True)
+        return ax, ay, az, sp
+
+    def body(c, carry):
+        # `unroll` independent entries per trip: amortizes the scalar
+        # bookkeeping and lets the dependent dynamic loads overlap the
+        # previous entries' vector work (measured 1.6x on v5e vs unroll=1).
+        k0 = lo + c * unroll
+        for u in range(unroll):
+            carry = one(k0 + u, carry)
+        return carry
+
+    n_trips = (hi - lo + unroll - 1) // unroll
+    ax, ay, az, sp = jax.lax.fori_loop(0, n_trips, body,
+                                       (zeros, zeros, zeros, zeros))
+    out_ref[0] = jnp.concatenate(
+        [jnp.transpose(ax), jnp.transpose(ay),
+         jnp.transpose(az), jnp.transpose(sp)], axis=0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("leaf_size", "g", "softening", "guard_zero", "interpret"),
+    static_argnames=("leaf_size", "g", "softening", "guard_zero", "interpret",
+                     "compute_pot"),
 )
 def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
-                      softening, guard_zero, interpret=False):
+                      softening, guard_zero, interpret=False,
+                      compute_pot=True):
     """Exact near field: targets (Ls, G, 3) against per-target lists of
-    source leaves idx/valid (Ls, B) over the global sorted particles."""
+    source leaves idx/valid (Ls, B) over the global sorted particles.
+
+    The source table (n_leaves, 4, G) is kept RESIDENT IN VMEM, split into
+    segments that fit the ~16 MB budget (4 MB each). The per-target lists are
+    front-packed ascending (ops/bh.py _row_compact), so each target's entries
+    for segment s form a contiguous [lo, hi) range, computed here with plain
+    reductions; the kernel loops exactly over that range. This replaced a
+    budget-wide XLA gather (n_leaves * budget * 4KB = 8.6 GB at N=1M,
+    budget 512) plus 32-entry compute quantization: measured 376 ms -> see
+    DESIGN.md (the round-1 design's gather+quantization waste was ~60% of its
+    runtime). Round-1's rejected alternative — per-entry in-kernel DMAs from
+    HBM — stays rejected: those are latency-bound at ~1 us/tile."""
     budget = idx.shape[1]
     dtype = pos_s.dtype
     n_leaves = pos_s.shape[0] // leaf_size
+    n_slice = tgt_leaves.shape[0]
 
-    # Source table in gather-friendly (n_leaves, 4, G) layout: each row is a
-    # contiguous 4*G*4-byte tile with only 2x layout padding.
+    # Source table: (n_leaves, 4, G) rows, 2x lane padding at worst.
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
     p_t4 = jnp.swapaxes(p4.reshape(n_leaves, leaf_size, 4), 1, 2)
 
+    # Segment size: ~4 MB of VMEM per table segment.
+    bytes_per_row = 4 * max(leaf_size, 128) * 4
+    rows_per_seg = min(n_leaves, max(8, (4 << 20) // bytes_per_row))
+    n_seg = -(-n_leaves // rows_per_seg)
+    if n_seg * rows_per_seg > n_leaves:
+        pad = n_seg * rows_per_seg - n_leaves
+        p_t4 = jnp.concatenate(
+            [p_t4, jnp.zeros((pad, 4, leaf_size), dtype)], axis=0)
+
+    # Per-target segment boundaries over the ascending front-packed lists:
+    # bnd[:, s] = #entries with leaf id < s * rows_per_seg.
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    bnds = [jnp.zeros((n_slice,), jnp.int32)]
+    for s in range(1, n_seg):
+        bnds.append(jnp.sum(valid & (idx < s * rows_per_seg), axis=1,
+                            dtype=jnp.int32))
+    bnds.append(counts)
+    bnd = jnp.stack(bnds, axis=1)                     # (Ls, n_seg + 1)
+
     tgt_t = _to_tgt_t(tgt_leaves)
-    cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
-    k_chunk = max(1, 8192 // leaf_size)
     eps2 = float(softening) ** 2
+    idx = idx.astype(jnp.int32)
 
     out = jnp.zeros_like(tgt_t)
-    for c0 in range(0, budget, k_chunk):
-        k = min(k_chunk, budget - c0)
-        ii = idx[:, c0:c0 + k]
-        vv = valid[:, c0:c0 + k]
-        src = p_t4[ii]                                    # (Ls, k, 4, G)
-        src = src.at[:, :, 3, :].multiply(
-            vv[:, :, None].astype(dtype))                 # zero invalid mass
-        out = out + _gathered_call(tgt_t, src, cnt, eps2=eps2,
-                                   guard_zero=guard_zero, chunk_start=c0,
-                                   interpret=interpret)
+    for s in range(n_seg):
+        table = jax.lax.slice_in_dim(p_t4, s * rows_per_seg,
+                                     (s + 1) * rows_per_seg, axis=0)
+        pair = jax.lax.slice_in_dim(bnd, s, s + 2, axis=1)   # (Ls, 2)
+        out = out + pl.pallas_call(
+            functools.partial(_near_table_kernel, eps2=eps2,
+                              guard_zero=guard_zero, base=s * rows_per_seg,
+                              compute_pot=compute_pot),
+            out_shape=jax.ShapeDtypeStruct((n_slice, 4, leaf_size), dtype),
+            grid=(n_slice,),
+            in_specs=[
+                pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, budget), lambda t: (t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows_per_seg, 4, leaf_size),
+                             lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=15 * n_slice * (budget // n_seg + 1) * leaf_size ** 2,
+                bytes_accessed=rows_per_seg * 4 * leaf_size * 4
+                + n_slice * leaf_size * 32,
+                transcendentals=n_slice * (budget // n_seg + 1) * leaf_size ** 2,
+            ),
+            interpret=interpret,
+        )(pair, idx, tgt_t, table)
     return _unpack(out, g)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("g", "softening", "guard_zero", "interpret",
-                     "front_packed"),
+                     "front_packed", "compute_pot"),
 )
 def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
-                     interpret=False, front_packed=True):
+                     interpret=False, front_packed=True, compute_pot=True):
     """Multipole far field: targets (Ls, G, 3) against per-target lists of
     accepted nodes idx/valid (Ls, B) over the global node table — (n, 4)
     [com, mass] monopole or (n, 9) [com, mass, Qxx, Qyy, Qxy, Qxz, Qyz]
@@ -233,5 +344,6 @@ def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
         src = src.at[:, 3:, :].multiply(vv[:, None, :].astype(dtype))
         out = out + _gathered_call(tgt_t, src[:, None], cnt, eps2=eps2,
                                    guard_zero=guard_zero, chunk_start=c0,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   compute_pot=compute_pot)
     return _unpack(out, g)

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--far", type=int, default=2048)
     ap.add_argument("--multipole", type=int, default=2)
     ap.add_argument("--curve", default="hilbert")
+    ap.add_argument("--lists-only", action="store_true",
+                    help="stop after the list-build phase (fast compile)")
     args = ap.parse_args()
 
     cfg = SimConfig(n=args.n, ic="plummer", softening=0.01, dt=1e-4,
@@ -116,6 +118,8 @@ def main():
     }
     print(f"leaf radius: {json.dumps(rad_stats)}", flush=True)
 
+    if args.lists_only:
+        return
     if not use_pallas:
         print("non-TPU backend: skipping kernel timings", flush=True)
         return
@@ -136,16 +140,16 @@ def main():
     nodes_up = jnp.concatenate(
         [node_table(k) for k in range(1, tree.n_levels)], axis=0)
     n_up = nodes_up.shape[0]
-    up_valid = jnp.concatenate(
+    up_mask = jnp.concatenate(
         [far_masks[k] for k in range(1, tree.n_levels)], axis=1)
-    up_idx = jnp.broadcast_to(
-        jnp.arange(n_up, dtype=jnp.int32)[None, :], (n_leaves, n_up))
+    cols_up = jax.lax.broadcasted_iota(jnp.int32, up_mask.shape, 1)
+    up_idx, up_valid, _ = jax.jit(
+        functools.partial(bh._row_compact, budget=n_up))(up_mask, cols_up)
     leaf_nodes = node_table(0)
 
-    # ---- phase 4a: upper far field
+    # ---- phase 4a: upper far field (front-packed)
     f_up = jax.jit(functools.partial(
-        far_field_pallas, g=1.0, softening=0.01, guard_zero=False,
-        front_packed=False))
+        far_field_pallas, g=1.0, softening=0.01, guard_zero=False))
     t_up, _ = timeit(f_up, p_leaves, nodes_up, up_idx, up_valid)
     print(f"far_upper kernel: {t_up*1e3:.1f} ms (width {n_up})", flush=True)
 
@@ -162,10 +166,16 @@ def main():
     t_nr, _ = timeit(f_nr, pos_s, mass_s, p_leaves, near_idx, near_valid)
     print(f"near kernel: {t_nr*1e3:.1f} ms (budget {args.near})", flush=True)
 
-    # ---- phase 5: unsort
-    uns = jax.jit(lambda a, p: jnp.zeros_like(a).at[p].set(a)[:args.n])
+    # ---- phase 5: unsort (5-operand sort keyed by perm)
+    @jax.jit
+    def uns(a, p, pot):
+        _, ax, ay, az, po = jax.lax.sort(
+            (p.astype(jnp.int32), a[:, 0], a[:, 1], a[:, 2], pot), num_keys=1)
+        return jnp.stack([ax, ay, az], axis=1)[:args.n], po[:args.n]
+
     acc = jnp.zeros((n_pad, 3), dtype)
-    t_un, _ = timeit(uns, acc, perm)
+    pot = jnp.zeros((n_pad,), dtype)
+    t_un, _ = timeit(uns, acc, perm, pot)
     print(f"unsort: {t_un*1e3:.1f} ms", flush=True)
 
     # ---- whole thing for reference
