@@ -44,14 +44,32 @@ def _add_config_flags(p: argparse.ArgumentParser):
             p.add_argument(name, type=float, default=None)
         else:
             p.add_argument(name, type=str, default=None)
-    p.add_argument("--devices", type=int, default=0,
-                   help="shard over this many devices (0 = single device)")
+    p.add_argument("--devices", type=str, default="0",
+                   help="shard over this many devices (0 = single device); "
+                        "ICIxDCN form (e.g. 8x2) orders the ring slice-major "
+                        "so only DCN hops cross slices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator/rank from the TPU environment)")
     p.add_argument("--compat", action="store_true",
                    help="reference-compat profile (G=1e4, slab ICs, "
                         "semi-implicit Euler, theta=1, no softening)")
 
 
+def _parse_devices(spec: str) -> tuple:
+    if not spec or spec == "0":
+        return ()
+    if "x" in spec:
+        ici, dcn = spec.split("x")
+        return (int(ici), int(dcn))
+    return (int(spec),)
+
+
 def _build_config(args) -> SimConfig:
+    if getattr(args, "distributed", False):
+        from parallelnbody_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
     if args.compat:
         cfg = reference_compat_config(n=args.n or 1024,
                                       size=args.ic_size or 200.0)
@@ -64,8 +82,9 @@ def _build_config(args) -> SimConfig:
         v = getattr(args, f.name, None)
         if v is not None:
             overrides[f.name] = v
-    if args.devices:
-        overrides["mesh_shape"] = (args.devices,)
+    shape = _parse_devices(args.devices)
+    if shape:
+        overrides["mesh_shape"] = shape
     return cfg.replace(**overrides)
 
 
@@ -91,18 +110,23 @@ def cmd_run(args) -> int:
                          for f in dataclasses.fields(SimConfig)
                          if getattr(args, f.name, None) is not None
                          and f.name != "n"}
-            if args.devices:
-                overrides["mesh_shape"] = (args.devices,)
+            shape = _parse_devices(args.devices)
+            if shape:
+                overrides["mesh_shape"] = shape
             cfg = cfg.replace(**overrides)
             print(f"resumed from {ckpt} at step {int(state.step)}", file=sys.stderr)
 
     sharded = cfg.n_devices > 1
     if sharded:
         from parallelnbody_tpu.parallel import make_ring_mesh, shard_state
+        from parallelnbody_tpu.parallel.mesh import make_multislice_ring_mesh
         from parallelnbody_tpu.parallel.sharded import (
             make_sharded_step, sharded_init_accel)
 
-        mesh = make_ring_mesh(cfg.n_devices)
+        if len(cfg.mesh_shape) == 2:   # (ICI, DCN) slice-major ring
+            mesh = make_multislice_ring_mesh(*cfg.mesh_shape)
+        else:
+            mesh = make_ring_mesh(cfg.n_devices)
 
     if state is None:
         state = init_simulation(cfg)
@@ -173,36 +197,98 @@ def cmd_run(args) -> int:
     seg = math.gcd(*cadences) if cadences else cfg.steps
     seg = max(1, min(seg, cfg.steps))
 
+    # Runtime control (the reference's BP_ScreenUI pause checkbox / "Set
+    # PhDeltaTime" / restart button, SURVEY C17, OctreeSearch.cpp:25): a JSON
+    # control file polled once per segment — {"pause": bool, "dt": float,
+    # "stop": bool}. Batch-friendly interactivity: edit the file mid-run.
+    import os
+
+    def poll_control():
+        nonlocal cfg, runs_invalid
+        if not args.control or not os.path.exists(args.control):
+            return False
+        try:
+            ctl = json.loads(open(args.control).read())
+        except (json.JSONDecodeError, OSError):
+            return False
+        new_dt = ctl.get("dt")
+        if new_dt and new_dt > 0 and new_dt != cfg.dt:
+            cfg = cfg.replace(dt=new_dt)
+            runs_invalid = True
+            if not args.quiet:
+                print(f"control: dt -> {new_dt}", file=sys.stderr)
+        while ctl.get("pause"):
+            time.sleep(0.2)
+            try:
+                ctl = json.loads(open(args.control).read())
+            except (json.JSONDecodeError, OSError):
+                break
+        return bool(ctl.get("stop"))
+
+    runs_invalid = False
+    interrupted = False
     t_start = time.perf_counter()
     done = 0
     last_t = t_start
     with profile_trace(args.profile_dir):
-        while done < cfg.steps:
-            k = min(seg, cfg.steps - done)
-            state = run_k(state, k)
-            done += k
-            step_now = int(force_sync(state.step))
-            now = time.perf_counter()
-            record = {}
-            if cfg.log_every and done % cfg.log_every == 0:
-                record = diag(state)
-                record["energy_drift"] = (record["energy"] - e0) / abs(e0 or 1.0)
-                record["steps_per_sec"] = k / (now - last_t)
-                metrics.log(record)
-            last_t = now
-            if traj and cfg.snapshot_every and done % cfg.snapshot_every == 0:
-                traj.append(state)
-            if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
-                save_checkpoint(cfg.checkpoint_dir, state, cfg)
+        try:
+            while done < cfg.steps:
+                if poll_control():
+                    save_checkpoint(cfg.checkpoint_dir, state, cfg)
+                    if not args.quiet:
+                        print("control: stop (checkpoint saved)", file=sys.stderr)
+                    break
+                if runs_invalid:
+                    # dt changed: rebuild the jitted step closures.
+                    runs_invalid = False
+                    if sharded:
+                        step_fn = make_sharded_step(cfg, mesh)
+
+                        def run_k(s, k, _step=step_fn):
+                            for _ in range(k):
+                                s = _step(s)
+                            return s
+                    else:
+                        runs = {}
+
+                        def run_k(s, k):
+                            if k not in runs:
+                                runs[k] = make_run(cfg, k)
+                            return runs[k](s)
+                k = min(seg, cfg.steps - done)
+                state = run_k(state, k)
+                done += k
+                step_now = int(force_sync(state.step))
+                now = time.perf_counter()
+                record = {}
+                if cfg.log_every and done % cfg.log_every == 0:
+                    record = diag(state)
+                    record["energy_drift"] = (record["energy"] - e0) / abs(e0 or 1.0)
+                    record["steps_per_sec"] = k / (now - last_t)
+                    metrics.log(record)
+                last_t = now
+                if traj and cfg.snapshot_every and done % cfg.snapshot_every == 0:
+                    traj.append(state)
+                if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
+                    save_checkpoint(cfg.checkpoint_dir, state, cfg)
+        except KeyboardInterrupt:
+            # Clean interrupt: checkpoint the last completed segment so a
+            # --resume continues exactly here (the reference just dies).
+            interrupted = True
+            save_checkpoint(cfg.checkpoint_dir, state, cfg)
+            if not args.quiet:
+                print(f"interrupted at step {int(state.step)}; checkpoint "
+                      f"saved to {cfg.checkpoint_dir}", file=sys.stderr)
 
     total = time.perf_counter() - t_start
     d1 = diag(state)
     summary = {
-        "steps": cfg.steps,
+        "steps": done,
         "n": cfg.n,
         "force": cfg.resolve_force(),
+        "interrupted": interrupted,
         "wall_s": total,
-        "steps_per_sec": cfg.steps / total,
+        "steps_per_sec": done / total if total > 0 else 0.0,
         "energy_drift": (d1["energy"] - e0) / abs(e0 or 1.0),
         "momentum_norm": d1["momentum_norm"],
     }
@@ -281,9 +367,26 @@ def cmd_render(args) -> int:
     from parallelnbody_tpu.utils.render import render_trajectory
 
     written = render_trajectory(args.traj_dir, args.out, size=args.size,
-                                plane=args.plane, fmt=args.fmt)
+                                plane=args.plane, fmt=args.fmt,
+                                show_tree=args.show_tree)
     print(json.dumps({"frames_rendered": len(written),
+                      "show_tree": bool(args.show_tree),
                       "out_dir": str(written[0].parent) if written else None}))
+    return 0
+
+
+# ----------------------------------------------------------------------- tree
+def cmd_tree(args) -> int:
+    """Tree structure dump: depth, level widths, leaf-radius and list-length
+    percentiles, overflow — the ShowOctree diagnostics counterpart and the
+    budget-tuning signal (reference: OctreeSearch.cpp:36-45)."""
+    from parallelnbody_tpu.models import get_ic
+    from parallelnbody_tpu.ops.bh import tree_stats
+
+    cfg = _build_config(args)
+    k_ic, _ = jax.random.split(jax.random.key(cfg.seed))
+    pos, _, mass = get_ic(cfg.ic)(k_ic, cfg)  # no force eval needed
+    print(json.dumps(tree_stats(pos, mass, cfg), indent=2))
     return 0
 
 
@@ -314,6 +417,9 @@ def main(argv=None) -> int:
                     help="jax.profiler trace dir")
     pr.add_argument("--resume", action="store_true",
                     help="resume from latest checkpoint")
+    pr.add_argument("--control", type=str, default=None,
+                    help="JSON control file polled each segment: "
+                         '{"pause": bool, "dt": float, "stop": bool}')
     pr.add_argument("--quiet", action="store_true")
     pr.set_defaults(fn=cmd_run)
 
@@ -338,7 +444,13 @@ def main(argv=None) -> int:
     pv.add_argument("--size", type=int, default=512)
     pv.add_argument("--plane", choices=("xy", "xz", "yz"), default="xy")
     pv.add_argument("--fmt", choices=("png", "ppm"), default="png")
+    pv.add_argument("--show-tree", action="store_true",
+                    help="overlay occupied tree-leaf boxes (ShowOctree)")
     pv.set_defaults(fn=cmd_render)
+
+    pt = sub.add_parser("tree", help="dump tree structure + list statistics")
+    _add_config_flags(pt)
+    pt.set_defaults(fn=cmd_tree)
 
     args = p.parse_args(argv)
     return args.fn(args)

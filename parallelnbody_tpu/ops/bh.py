@@ -580,6 +580,58 @@ def slice_row_of_sorted(sorted_idx, n_leaves, n_ranks, leaf_size):
     return rank * (n_slice * leaf_size) + (sorted_idx - start * leaf_size)
 
 
+def leaf_aabbs(pos, mass, *, leaf_size=256, curve="hilbert"):
+    """Axis-aligned bounding boxes of the occupied tree leaves, for the
+    octree visualization (the reference's ShowOctree draws a red debug box
+    per occupied leaf each frame — OctreeSearch.cpp:36-45, flag h:123-124;
+    here leaves are Hilbert groups, so the drawn box is the leaf's particle
+    AABB). Returns (lo (L,3), hi (L,3), occupied (L,) bool)."""
+    pos_s, mass_s, _, _, _, n_pad = _prepare(pos, mass, leaf_size=leaf_size,
+                                             curve=curve)
+    n_leaves = n_pad // leaf_size
+    p = pos_s.reshape(n_leaves, leaf_size, 3)
+    occ = (mass_s.reshape(n_leaves, leaf_size) > 0)[..., None]
+    lo = jnp.min(jnp.where(occ, p, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(occ, p, -jnp.inf), axis=1)
+    return lo, hi, jnp.any(occ[..., 0], axis=1)
+
+
+def tree_stats(pos, mass, cfg) -> dict:
+    """Structure dump for the `tree` CLI subcommand: depth, level widths,
+    leaf-radius and interaction-list-length percentiles, overflow. The
+    list-length histogram is also the tuning signal for the budgets."""
+    import numpy as np
+
+    pos_s, mass_s, _, tree, n, n_pad = _prepare(
+        pos, mass, leaf_size=cfg.bh_leaf_size, curve=cfg.bh_curve,
+        multipole_order=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
+    n_leaves = n_pad // cfg.bh_leaf_size
+    far_masks, rejects_l1 = traverse(tree, cfg.theta)
+    near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
+        tree, rejects_l1, cfg.theta, start_leaf=0, n_slice=n_leaves,
+        near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget)
+
+    def pct(x):
+        x = np.asarray(x, np.float64)
+        return {k: float(np.percentile(x, p)) for k, p in
+                (("p50", 50), ("p90", 90), ("p99", 99), ("max", 100))} | {
+                    "mean": float(x.mean())}
+
+    upper = sum(int(jnp.sum(far_masks[k])) for k in range(1, tree.n_levels))
+    return {
+        "n": int(n), "n_leaves": n_leaves, "leaf_size": cfg.bh_leaf_size,
+        "levels": tree.n_levels,
+        "level_widths": [int(c.shape[0]) for c in tree.com],
+        "theta": cfg.theta, "curve": cfg.bh_curve,
+        "leaf_radius": pct(tree.radius[0]),
+        "near_leaves_per_target": pct(jnp.sum(near_valid, axis=1)),
+        "far0_nodes_per_target": pct(jnp.sum(far0_valid, axis=1)),
+        "upper_accepted_total": upper,
+        "overflow": int(overflow),
+        "budgets": {"near": cfg.bh_near_budget, "far": cfg.bh_far_budget},
+    }
+
+
 def use_pallas_bh() -> bool:
     """Pallas BH kernels are used on TPU (interpret mode is test-only)."""
     try:

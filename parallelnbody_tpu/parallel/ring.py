@@ -38,12 +38,18 @@ def ring_accel(pos, mass, *, g, softening, axis=RING_AXIS, tile_fn=None):
 
     def body(_, carry):
         acc, pot, src_pos, src_mass = carry
+        # Double-buffered overlap: issue the rotation of the NEXT source tile
+        # BEFORE computing on the current one. The collective-permute-start
+        # has no data dependence on the tile compute, so XLA's latency-hiding
+        # scheduler can run the ICI transfer under the compute; the matching
+        # -done is only awaited at the next iteration's use. (Single-chip rig:
+        # structurally enabled here, measurable only on a real multi-chip
+        # mesh.) After the final pass the tile returns home, keeping the loop
+        # carry shape-invariant.
+        nxt_pos = jax.lax.ppermute(src_pos, axis, perm)
+        nxt_mass = jax.lax.ppermute(src_mass, axis, perm)
         a, ph = tile_fn(pos, src_pos, src_mass)
-        # Rotate the source tile to the next device; after the final pass the
-        # tile returns home, keeping the loop carry shape-invariant.
-        src_pos = jax.lax.ppermute(src_pos, axis, perm)
-        src_mass = jax.lax.ppermute(src_mass, axis, perm)
-        return acc + a, pot + ph, src_pos, src_mass
+        return acc + a, pot + ph, nxt_pos, nxt_mass
 
     acc0 = jnp.zeros_like(pos)
     pot0 = jnp.zeros_like(mass)

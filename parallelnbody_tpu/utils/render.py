@@ -66,14 +66,49 @@ def render_ppm(pos, mass=None, *, size=512, plane="xy", extent=None,
     img = (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
 
     if path:
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        if path.suffix == ".png":
-            write_png(path, img)
-        else:
-            with open(path, "wb") as f:
-                f.write(f"P6 {size} {size} 255\n".encode())
-                f.write(img.tobytes())
+        write_image(path, img)
+    return img
+
+
+def write_image(path, img) -> Path:
+    """Write an (H, W, 3) uint8 image as .png or binary .ppm by suffix."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix == ".png":
+        write_png(path, img)
+    else:
+        h, w, _ = img.shape
+        with open(path, "wb") as f:
+            f.write(f"P6 {w} {h} 255\n".encode())
+            f.write(img.tobytes())
+    return path
+
+
+def draw_boxes(img, lo, hi, *, extent, plane="xy", color=(255, 64, 64)):
+    """Overlay axis-aligned box outlines onto a rendered frame, in place.
+
+    The ShowOctree analogue: the reference draws a red debug box per occupied
+    octree leaf every frame (DrawOctreeBoxes, OctreeSearch.cpp:36-45). lo/hi:
+    (L, 3) world-space AABB corners (non-finite rows are skipped)."""
+    size = img.shape[0]
+    ax = _AXES[plane]
+    lo2 = np.asarray(lo)[:, ax]
+    hi2 = np.asarray(hi)[:, ax]
+    ok = np.isfinite(lo2).all(1) & np.isfinite(hi2).all(1)
+
+    def to_px(xy):
+        return np.clip(np.floor((xy + extent) / (2 * extent) * size), 0,
+                       size - 1).astype(int)
+
+    a = to_px(lo2[ok])
+    b = to_px(hi2[ok])
+    col = np.array(color, np.uint8)
+    for (x0, y0), (x1, y1) in zip(a, b):
+        r0, r1 = size - 1 - y1, size - 1 - y0  # rows (y up -> row down)
+        img[r0, x0:x1 + 1] = col
+        img[r1, x0:x1 + 1] = col
+        img[r0:r1 + 1, x0] = col
+        img[r0:r1 + 1, x1] = col
     return img
 
 
@@ -100,13 +135,18 @@ def export_ply(path, pos, mass=None) -> Path:
 
 
 def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
-                      extent=None, fmt="png") -> list:
+                      extent=None, fmt="png", show_tree=False) -> list:
     """Render every frame of a TrajectoryWriter manifest to PNG/PPM images.
     Uses a common extent across frames (from the first frame) so the
-    sequence animates coherently."""
+    sequence animates coherently.
+
+    show_tree=True overlays the occupied tree-leaf bounding boxes per frame —
+    the reference's ShowOctree checkbox (OctreeSearch.h:123-124, .cpp:36-45);
+    leaf size/curve come from the manifest's recorded config."""
     traj_dir = Path(traj_dir)
     out_dir = Path(out_dir) if out_dir else traj_dir / "frames"
     manifest = json.loads((traj_dir / "manifest.json").read_text())
+    cfg_d = manifest.get("config") or {}
     written = []
     for frame in manifest["frames"]:
         with np.load(traj_dir / frame["file"]) as z:
@@ -114,7 +154,19 @@ def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
         if extent is None:
             ax = _AXES[plane]
             extent = float(np.percentile(np.abs(np.asarray(pos)[:, ax]), 99.0)) * 1.3 or 1.0
+        img = render_ppm(pos, mass, size=size, plane=plane, extent=extent)
+        if show_tree:
+            import jax.numpy as jnp
+            from parallelnbody_tpu.ops.bh import leaf_aabbs
+
+            lo, hi, occ = leaf_aabbs(
+                jnp.asarray(pos), jnp.asarray(mass),
+                leaf_size=cfg_d.get("bh_leaf_size", 256),
+                curve=cfg_d.get("bh_curve", "hilbert"))
+            occ = np.asarray(occ)
+            draw_boxes(img, np.asarray(lo)[occ], np.asarray(hi)[occ],
+                       extent=extent, plane=plane)
         out = out_dir / (Path(frame["file"]).stem + f"_{plane}.{fmt}")
-        render_ppm(pos, mass, size=size, plane=plane, extent=extent, path=out)
+        write_image(out, img)
         written.append(out)
     return written
