@@ -219,11 +219,11 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "g", "softening", "guard_zero", "interpret",
-                     "compute_pot"),
+                     "compute_pot", "seg_bytes"),
 )
 def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
                       softening, guard_zero, interpret=False,
-                      compute_pot=True):
+                      compute_pot=True, seg_bytes=4 << 20):
     """Exact near field: targets (Ls, G, 3) against per-target lists of
     source leaves idx/valid (Ls, B) over the global sorted particles.
 
@@ -246,9 +246,10 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
     p_t4 = jnp.swapaxes(p4.reshape(n_leaves, leaf_size, 4), 1, 2)
 
-    # Segment size: ~4 MB of VMEM per table segment.
+    # Segment size: ~seg_bytes of VMEM per table segment (default 4 MB;
+    # tests shrink it to force the multi-segment path at small N).
     bytes_per_row = 4 * max(leaf_size, 128) * 4
-    rows_per_seg = min(n_leaves, max(8, (4 << 20) // bytes_per_row))
+    rows_per_seg = min(n_leaves, max(8, seg_bytes // bytes_per_row))
     n_seg = -(-n_leaves // rows_per_seg)
     if n_seg * rows_per_seg > n_leaves:
         pad = n_seg * rows_per_seg - n_leaves

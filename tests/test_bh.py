@@ -274,6 +274,49 @@ def test_bh_pallas_path_matches_jnp():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=2e-4, atol=2e-5)
 
 
+def test_near_kernel_multi_segment():
+    """The near kernel's segmented VMEM table: forcing several table segments
+    (tiny seg_bytes) must give identical results to one segment — covers the
+    per-segment [lo, hi) range arithmetic the N=1M TPU path relies on."""
+    from parallelnbody_tpu.ops.bh import _prepare, traverse, leaf_interactions
+    from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+    pos, _, mass = _plummer(2048, seed=17)
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
+                                                curve="hilbert")
+    n_leaves = n_pad // 32
+    _, rej = traverse(tree, 0.5)
+    idx, valid, _, _, _ = leaf_interactions(
+        tree, rej, 0.5, start_leaf=0, n_slice=n_leaves, near_budget=64,
+        far0_budget=256)
+    tgt = pos_s.reshape(n_leaves, 32, 3)
+    one = near_field_pallas(pos_s, mass_s, tgt, idx, valid, 32, 1.0, 0.02,
+                            False, interpret=True)
+    few = near_field_pallas(pos_s, mass_s, tgt, idx, valid, 32, 1.0, 0.02,
+                            False, interpret=True,
+                            seg_bytes=8 * 4 * 128 * 4)  # 8 rows/segment
+    # Segment count changes the summation order: fp32 reassociation only.
+    np.testing.assert_allclose(np.asarray(few[0]), np.asarray(one[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(few[1]), np.asarray(one[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_bh_compute_pot_false_same_acc():
+    """compute_pot=False must not change accelerations (pot returns zeros on
+    the Pallas path)."""
+    pos, _, mass = _plummer(2048, seed=19)
+    a1, p1, _ = bh_accel(pos, mass, leaf_size=32, theta=0.5, g=1.0,
+                         softening=0.02, near_budget=64, use_pallas=True)
+    a0, p0, _ = bh_accel(pos, mass, leaf_size=32, theta=0.5, g=1.0,
+                         softening=0.02, near_budget=64, use_pallas=True,
+                         compute_pot=False)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-6,
+                               atol=1e-7)
+    assert float(jnp.max(jnp.abs(p0))) == 0.0
+    assert float(jnp.max(jnp.abs(p1))) > 0.0
+
+
 def test_bh_unsoftened_compat():
     """BH with softening=0 (reference-compat force law) must stay finite and
     match direct within MAC tolerance — exercises the guard_zero paths in
