@@ -112,27 +112,40 @@ def main():
           flush=True)
 
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
-    p_t4 = jnp.swapaxes(p4.reshape(n_leaves, LEAF, 4), 1, 2)
-    rows_per_seg = 1024
+    p_t4_base = jnp.swapaxes(p4.reshape(n_leaves, LEAF, 4), 1, 2)
     counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
-    bnds = [jnp.zeros((n_leaves,), jnp.int32)]
-    for s in range(1, n_leaves // rows_per_seg):
-        bnds.append(jnp.sum(valid & (idx < s * rows_per_seg), axis=1,
-                            dtype=jnp.int32))
-    bnds.append(counts)
-    bnd = jnp.stack(bnds, axis=1)
+
+    def make_bnd(rows_per_seg):
+        bnds = [jnp.zeros((n_leaves,), jnp.int32)]
+        for s in range(1, n_leaves // rows_per_seg):
+            bnds.append(jnp.sum(valid & (idx < s * rows_per_seg), axis=1,
+                                dtype=jnp.int32))
+        bnds.append(counts)
+        return jnp.stack(bnds, axis=1)
+
     tgt_t = jnp.swapaxes(
         jnp.concatenate([pos_s.reshape(n_leaves, LEAF, 3),
                          jnp.zeros((n_leaves, LEAF, 1))], -1), 1, 2)
     idx = idx.astype(jnp.int32)
 
     for name, mode, unroll in (("A dyn-idx u4", "A", 4),
-                               ("E loads-first u4", "E", 4),
-                               ("E loads-first u8", "E", 8)):
-        kern = make_kernel(mode, unroll)
+                               ("F 8-row-aligned u4", "F", 4)):
+        if mode == "F":
+            # (L, 8, G) table: rows padded to a full native sublane tile.
+            p_t4 = jnp.concatenate(
+                [p_t4_base, jnp.zeros((n_leaves, 4, LEAF), jnp.float32)],
+                axis=1)
+            rows_per_seg = 512
+        else:
+            p_t4 = p_t4_base
+            rows_per_seg = 1024
+        bnd = make_bnd(rows_per_seg)
+        n_comp = p_t4.shape[1]
+        kern = make_kernel(mode if mode != "F" else "A", unroll)
 
         @jax.jit
-        def f(bnd, idx, tgt_t, p_t4):
+        def f(bnd, idx, tgt_t, p_t4, rows_per_seg=rows_per_seg,
+              n_comp=n_comp, kern=kern):
             out = jnp.zeros_like(tgt_t)
             for s in range(n_leaves // rows_per_seg):
                 table = jax.lax.slice_in_dim(p_t4, s * rows_per_seg,
@@ -150,7 +163,7 @@ def main():
                                      memory_space=pltpu.SMEM),
                         pl.BlockSpec((1, 4, LEAF), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((rows_per_seg, 4, LEAF),
+                        pl.BlockSpec((rows_per_seg, n_comp, LEAF),
                                      lambda t: (0, 0, 0),
                                      memory_space=pltpu.VMEM),
                     ],
