@@ -138,7 +138,7 @@ def cmd_run(args) -> int:
         from parallelnbody_tpu.ops.bh import bh_accel, use_pallas_bh
 
         _, _, ovf = bh_accel(
-            state.pos, state.mass, leaf_size=cfg.bh_leaf_size,
+            state.pos, state.mass, leaf_size=cfg.resolve_bh_leaf_size(),
             theta=cfg.theta, g=cfg.g, softening=cfg.softening,
             near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas_bh(), curve=cfg.bh_curve,

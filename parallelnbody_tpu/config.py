@@ -63,7 +63,8 @@ class SimConfig:
     virialize: bool = False        # rescale IC speeds so 2K = -W at t=0
 
     # --- Barnes-Hut parameters ---
-    bh_leaf_size: int = 256        # particles per Morton leaf group
+    bh_leaf_size: int = 0          # particles per leaf group; 0 = auto
+                                   # (scales with n — see resolve_bh_leaf_size)
     bh_near_budget: int = 3584     # max exact-interaction source leaves per
                                    # target leaf (self-clamps to n_leaves;
                                    # overflow reported). Fat sparse-region
@@ -125,6 +126,18 @@ class SimConfig:
     # O(N log N) gap only widens above. Below ~1e5 the all-pairs kernel's
     # simplicity (no lists, no budgets) and accuracy win.
     AUTO_BH_CROSSOVER = 131072
+
+    def resolve_bh_leaf_size(self) -> int:
+        """Resolve bh_leaf_size=0 to a measured-best size for this n (v5e:
+        128 wins at 262k — 78 vs 90 ms — fatter relative leaves there; 256
+        at 1M; 512 at 4M keeps the dense list plane at 8192^2)."""
+        if self.bh_leaf_size:
+            return self.bh_leaf_size
+        if self.n <= (1 << 19):
+            return 128
+        if self.n <= (1 << 21):
+            return 256
+        return 512
 
     def resolve_force(self, backend: str | None = None) -> str:
         """Resolve force='auto' to a concrete method for the current backend:

@@ -603,9 +603,10 @@ def tree_stats(pos, mass, cfg) -> dict:
     import numpy as np
 
     pos_s, mass_s, _, tree, n, n_pad = _prepare(
-        pos, mass, leaf_size=cfg.bh_leaf_size, curve=cfg.bh_curve,
+        pos, mass, leaf_size=cfg.resolve_bh_leaf_size(),
+        curve=cfg.bh_curve,
         multipole_order=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
-    n_leaves = n_pad // cfg.bh_leaf_size
+    n_leaves = n_pad // cfg.resolve_bh_leaf_size()
     far_masks, rejects_l1 = traverse(tree, cfg.theta)
     near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
         tree, rejects_l1, cfg.theta, start_leaf=0, n_slice=n_leaves,
@@ -619,7 +620,8 @@ def tree_stats(pos, mass, cfg) -> dict:
 
     upper = sum(int(jnp.sum(far_masks[k])) for k in range(1, tree.n_levels))
     return {
-        "n": int(n), "n_leaves": n_leaves, "leaf_size": cfg.bh_leaf_size,
+        "n": int(n), "n_leaves": n_leaves,
+        "leaf_size": cfg.resolve_bh_leaf_size(),
         "levels": tree.n_levels,
         "level_widths": [int(c.shape[0]) for c in tree.com],
         "theta": cfg.theta, "curve": cfg.bh_curve,
@@ -651,7 +653,7 @@ def make_bh_accel(cfg, mass):
     def accel_fn(pos):
         acc, pot, _ = bh_accel(
             pos, mass,
-            leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
+            leaf_size=cfg.resolve_bh_leaf_size(), theta=cfg.theta, g=cfg.g,
             softening=cfg.softening, near_budget=cfg.bh_near_budget,
             far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas, curve=cfg.bh_curve,

@@ -64,7 +64,7 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
 
     acc_sl, pot_sl, perm, overflow = bh_accel_target_slice(
         pos_all, mass_all, rank, n_ranks,
-        leaf_size=cfg.bh_leaf_size, theta=cfg.theta, g=cfg.g,
+        leaf_size=cfg.resolve_bh_leaf_size(), theta=cfg.theta, g=cfg.g,
         softening=cfg.softening, near_budget=cfg.bh_near_budget,
         far0_budget=cfg.bh_far_budget,
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
@@ -73,12 +73,12 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
     acc_g = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
     pot_g = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)
 
-    n_leaves, _, _ = plan_tree(pos_all.shape[0], cfg.bh_leaf_size,
-                               cfg.bh_max_levels)
+    n_leaves, _, _ = plan_tree(pos_all.shape[0],
+                               cfg.resolve_bh_leaf_size(), cfg.bh_max_levels)
     inv_perm = jnp.argsort(perm)  # replicated: sorted position of each orig id
     my_ids = rank * n_local + jnp.arange(n_local)
     rows = slice_row_of_sorted(inv_perm[my_ids], n_leaves, n_ranks,
-                               cfg.bh_leaf_size)
+                               cfg.resolve_bh_leaf_size())
     if with_overflow:
         total_overflow = jax.lax.psum(overflow, axis)
         return acc_g[rows], pot_g[rows], total_overflow

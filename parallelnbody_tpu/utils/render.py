@@ -159,9 +159,13 @@ def render_trajectory(traj_dir, out_dir=None, *, size=512, plane="xy",
             import jax.numpy as jnp
             from parallelnbody_tpu.ops.bh import leaf_aabbs
 
+            leaf_size = cfg_d.get("bh_leaf_size", 0)
+            if not leaf_size:  # 0 = auto (SimConfig.resolve_bh_leaf_size)
+                from parallelnbody_tpu.config import SimConfig
+
+                leaf_size = SimConfig(n=len(pos)).resolve_bh_leaf_size()
             lo, hi, occ = leaf_aabbs(
-                jnp.asarray(pos), jnp.asarray(mass),
-                leaf_size=cfg_d.get("bh_leaf_size", 256),
+                jnp.asarray(pos), jnp.asarray(mass), leaf_size=leaf_size,
                 curve=cfg_d.get("bh_curve", "hilbert"))
             occ = np.asarray(occ)
             draw_boxes(img, np.asarray(lo)[occ], np.asarray(hi)[occ],

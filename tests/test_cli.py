@@ -152,6 +152,15 @@ def test_render_show_tree(capsys, tmp_path):
     assert int(((img[..., 0] == 255) & (img[..., 1] == 64)).sum()) > 50
 
 
+def test_auto_bh_leaf_size():
+    from parallelnbody_tpu.config import SimConfig
+
+    assert SimConfig(n=262144).resolve_bh_leaf_size() == 128
+    assert SimConfig(n=1048576).resolve_bh_leaf_size() == 256
+    assert SimConfig(n=4194304).resolve_bh_leaf_size() == 512
+    assert SimConfig(n=4096, bh_leaf_size=32).resolve_bh_leaf_size() == 32
+
+
 def test_auto_force_crossover():
     """force='auto' is scale-aware: Barnes-Hut above the measured crossover,
     direct below it (VERDICT r1 weak #7)."""
