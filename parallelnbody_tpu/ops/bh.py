@@ -173,28 +173,34 @@ def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
     return (MAC_SIZE_SCALE * node_r[None, :]) < (theta * d_eff)
 
 
-def traverse(tree: BHTree, theta: float):
-    """Level-synchronous masked traversal over the upper levels (k >= 1).
+def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None):
+    """Level-synchronous masked traversal over the upper levels (k >= 1),
+    for the target-leaf slice [start_leaf, start_leaf + n_slice) (defaults
+    to all leaves).
 
-    Returns (far_masks, rejects_l1): far_masks[k] is the (n_leaves, n_k) bool
+    Returns (far_masks, rejects_l1): far_masks[k] is the (n_slice, n_k) bool
     mask of nodes at level k >= 1 accepted as monopoles (index 0 unused,
-    None); rejects_l1 is the (n_leaves, n_l1) bool mask of level-1 nodes that
-    must be refined to leaf granularity (handled sparsely by
-    `leaf_interactions` — a dense (n_leaves x n_leaves) leaf mask would be
-    the memory/compile wall at large N).
-    """
+    None); rejects_l1 is the (n_slice, n_l1) bool mask of level-1 nodes that
+    must be refined to leaf granularity by `leaf_interactions`.
+
+    The slice parameters matter for multi-chip: each rank traverses only its
+    own target window, so this phase scales with 1/P instead of being
+    replicated (start_leaf may be traced)."""
     leaf_com, leaf_r = tree.com[0], tree.radius[0]
-    n_leaves = leaf_com.shape[0]
     n_levels = tree.n_levels
+    if n_slice is None:
+        n_slice = leaf_com.shape[0]
+    tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
+    tgt_r = jax.lax.dynamic_slice_in_dim(leaf_r, start_leaf, n_slice, 0)
 
     far_masks = [None] * n_levels
-    active = jnp.ones((n_leaves, tree.com[-1].shape[0]), bool)
+    active = jnp.ones((n_slice, tree.com[-1].shape[0]), bool)
     for k in range(n_levels - 1, 1, -1):
-        mac = _group_mac(leaf_com, leaf_r, tree.com[k], tree.radius[k], theta)
+        mac = _group_mac(tgt_com, tgt_r, tree.com[k], tree.radius[k], theta)
         far_masks[k] = active & mac
         branch = tree.com[k - 1].shape[0] // tree.com[k].shape[0]
         active = jnp.repeat(active & ~mac, branch, axis=1)
-    mac1 = _group_mac(leaf_com, leaf_r, tree.com[1], tree.radius[1], theta)
+    mac1 = _group_mac(tgt_com, tgt_r, tree.com[1], tree.radius[1], theta)
     far_masks[1] = active & mac1
     rejects_l1 = active & ~mac1
     return far_masks, rejects_l1
@@ -228,7 +234,8 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
                       start_leaf, n_slice, near_budget: int,
                       far0_budget: int):
     """Refine rejected level-1 nodes to leaf granularity for the target-leaf
-    slice [start_leaf, start_leaf + n_slice).
+    slice [start_leaf, start_leaf + n_slice). rejects_l1 must come from
+    `traverse` called with the SAME slice (n_slice rows).
 
     Each rejected level-1 node contributes its `branch` child leaves as
     candidates; the leaf-level MAC splits candidates into accepted leaf
@@ -250,7 +257,8 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
     n_leaves = leaf_com.shape[0]
     branch = n_leaves // tree.com[1].shape[0]
 
-    rej = jax.lax.dynamic_slice_in_dim(rejects_l1, start_leaf, n_slice, 0)
+    assert rejects_l1.shape[0] == n_slice, (rejects_l1.shape, n_slice)
+    rej = rejects_l1
     tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
     tgt_r = jax.lax.dynamic_slice_in_dim(leaf_r, start_leaf, n_slice, 0)
 
@@ -434,9 +442,9 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
     nodes_up = jnp.concatenate(
         [node_table(k) for k in range(1, tree.n_levels)], axis=0)
     n_up = nodes_up.shape[0]
+    # far_masks arrive pre-sliced to this target window (traverse slice).
     up_mask = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(far_masks[k], start_leaf, n_slice, 0)
-         for k in range(1, tree.n_levels)], axis=1)
+        [far_masks[k] for k in range(1, tree.n_levels)], axis=1)
     # Front-pack the (narrow) dense acceptance mask so the kernel's chunk
     # skipping bites: mean accepted count is ~half the width (measured 274 of
     # 585 at N=1M), and the compacting row sort costs ~3 ms vs the ~15 ms of
@@ -549,7 +557,6 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos_all, mass_all, leaf_size=leaf_size, curve=curve,
         multipole_order=multipole, max_levels=max_levels)
-    far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
     # Any rank count: slices of ceil(n_leaves / n_ranks) leaves; the trailing
     # ranks' windows are clamped into range (dynamic_slice semantics), so
@@ -558,6 +565,10 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     # picks a consistent copy.
     n_slice = -(-n_leaves // n_ranks)
     start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
+    # Traverse only this rank's target window: with the sliced traversal and
+    # lists, only _prepare (the sort + pyramid) remains replicated work.
+    far_masks, rejects_l1 = traverse(tree, theta, start_leaf=start,
+                                     n_slice=n_slice)
     acc, pot, overflow = _forces_sorted(
         pos_s, mass_s, tree, far_masks, rejects_l1,
         start_leaf=start, n_slice=n_slice, leaf_size=leaf_size,
