@@ -459,13 +459,19 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
             far_field_pallas, near_field_pallas)
 
         interpret = jax.default_backend() != "tpu"
-        acc, pot = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
-                                    g, float(softening), guard_zero,
-                                    interpret=interpret,
-                                    compute_pot=compute_pot)
-        a, ph = far_field_pallas(tgt_leaves, leaf_nodes, far0_idx, far0_valid,
-                                 g, float(softening), guard_zero,
-                                 interpret=interpret, compute_pot=compute_pot)
+        acc, pot, _ = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
+                                       g, float(softening), guard_zero,
+                                       interpret=interpret,
+                                       compute_pot=compute_pot)
+        # far0 stays unbinned: its list-length distribution is CONCENTRATED
+        # (N=1M theta=0.72 measured mean 834 / p50 907 of budget 1536 — the
+        # candidate volume is set by the level-1 rejects, not a fat tail), so
+        # count-sorted two-bin evaluation either clips heavily (bin_budget
+        # 768: 4.2e5 clipped entries) or saves ~nothing (safe bin_budget
+        # 1280: ~3 ms). Measured scripts/bh_breakdown.py round 3.
+        a, ph, _ = far_field_pallas(
+            tgt_leaves, leaf_nodes, far0_idx, far0_valid, g, float(softening),
+            guard_zero, interpret=interpret, compute_pot=compute_pot)
         acc, pot = acc + a, pot + ph
         a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, near_idx,
                                   near_valid, leaf_size, g, float(softening),

@@ -11,15 +11,18 @@ in-kernel DMAs (those are latency-bound at ~1us per tiny tile; measured
 Layout rules (everything is shaped by TPU tiling):
   * NEVER materialize big (n, 4) or (..., G, 4) arrays — the trailing 4
     pads to 128 lanes (32x memory and bandwidth; a row gather through such
-    a layout measured 16 GB/s effective). All big operands are (..., 4, G)
-    (components on sublanes: 2x pad) or transposed node tables (4, n_nodes).
-  * Per-target list lengths live in SMEM; chunks beyond a target's list
-    length skip compute via predication, so budget padding costs gather
-    bandwidth only, never flops. Invalid entries also carry zero mass, so
-    partial chunks are exact.
-  * Inside the kernel targets sit on sublanes and sources on lanes; the
-    seven small (1, G) <-> (G, 1) relayouts per grid step are noise next to
-    the (G, S) interaction tile.
+    a layout measured 16 GB/s effective). Big operands are (..., 4, G)
+    particle tiles or full-lane (n, 128) node-row tables (row gathers are
+    row-count-bound at ~255M rows/s regardless of row width, so the 128-pad
+    is free — scripts/gather_rate_probe.py).
+  * Per-target list lengths live in SMEM; a fori_loop runs over exactly the
+    live 128-entry sub-tiles and the last tile is masked in-kernel, so
+    budget padding costs gather bandwidth only, never flops.
+  * The near kernel puts targets on sublanes and source particles on lanes;
+    the far kernel puts source ENTRIES on sublanes and targets on lanes so
+    node components are lane slices and nothing needs transposing. Weighted
+    tiles are accumulated wide and reduced once per trip/target — eager
+    per-entry lane reductions measured ~17% of the near kernel.
 
 This replaces the reference's per-particle recursive force traversal
 (Octree::ComputeForces, OctreeSearch.h:99-108).
@@ -36,105 +39,121 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gathered_kernel(cnt_ref, tgt_ref, src_ref, out_ref, *, eps2, guard_zero,
-                     chunk_start, compute_pot=True):
-    """One target leaf (1, 4, G) against a gathered source chunk
-    (1, S_outer, 4, S_in): S_outer sub-tiles of S_in lane-major sources.
-    out: (1, 4, G) = [sum w*dx, sum w*dy, sum w*dz, sum m_j*u]."""
+                     quad, compute_pot=True):
+    """One target leaf (1, 4, G) against its gathered source ROWS
+    (1, S_outer, S_in, 128): S_outer sub-tiles of S_in node rows, each row
+    [x, y, z, m, Qxx, Qyy, Qxy, Qxz, Qyz, 0...] in the first lanes.
+    out: (1, 4, G) = [sum w*dx, sum w*dy, sum w*dz, sum m_j*u].
+
+    Orientation: source ENTRIES on sublanes, TARGETS on lanes — node
+    components are (S_in, 1) lane slices of the row tile and the target row
+    (1, G) needs no transposes at all. A fori_loop runs over exactly
+    ceil(count / S_in) live sub-tiles; entries past `count` inside the last
+    tile are masked in-kernel (sublane iota vs count), so no XLA-side
+    validity pass over the gathered buffer is needed. Accumulators are kept
+    (8, G) sublane-wide across the loop and folded once at the end (the
+    round-2 kernel's eager per-chunk lane reductions were measured at ~60%
+    of a small chunk's cost in the flat-kernel probes)."""
     t = pl.program_id(0)
     count = cnt_ref[t % 8, 0]
-    s_outer = src_ref.shape[1]
+    s_outer, s_in = src_ref.shape[1], src_ref.shape[2]
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+    tgt = tgt_ref[0]                      # (4, G)
+    xi = tgt[0:1, :]                      # (1, G)
+    yi = tgt[1:2, :]
+    zi = tgt[2:3, :]
+    g_t = xi.shape[1]
+    z8 = jnp.zeros((8, g_t), xi.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s_in, 1), 0)
 
-    quad = src_ref.shape[2] == 9
+    def fold8(a):                          # (S_in, G) -> (8, G)
+        return jnp.sum(a.reshape(s_in // 8, 8, g_t), axis=0)
 
-    @pl.when(chunk_start < count)
-    def _():
-        tgt = tgt_ref[0]                      # (4, G)
-        xi = jnp.transpose(tgt[0:1, :])       # (G, 1)
-        yi = jnp.transpose(tgt[1:2, :])
-        zi = jnp.transpose(tgt[2:3, :])
+    def body(j, carry):
+        ax, ay, az, sp = carry
+        src = src_ref[0, j]               # (S_in, 128), dynamic sub-tile read
+        xj = src[:, 0:1]                  # (S_in, 1)
+        yj = src[:, 1:2]
+        zj = src[:, 2:3]
+        mj = src[:, 3:4]
 
-        g_t = xi.shape[0]
-        ax = jnp.zeros((g_t, 1), xi.dtype)
-        ay = jnp.zeros((g_t, 1), xi.dtype)
-        az = jnp.zeros((g_t, 1), xi.dtype)
-        sp = jnp.zeros((g_t, 1), xi.dtype)
-        for j in range(s_outer):
-            src = src_ref[0, j]               # (C, S_in)
-            xj = src[0:1, :]                  # (1, S_in)
-            yj = src[1:2, :]
-            zj = src[2:3, :]
-            mj = src[3:4, :]
+        dx = xj - xi                      # (S_in, G)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        u = jax.lax.rsqrt(r2)
+        if guard_zero:
+            u = jnp.where(r2 > 0.0, u, 0.0)
+        # Mask entries past this target's count (and therefore also the
+        # gathered idx-0 rows behind them) by zeroing u: every term below
+        # scales with u, including the quadrupole ones.
+        u = u * (iota < (count - j * s_in)).astype(u.dtype)
+        mu = mj * u
+        u2 = u * u
+        w = mu * u2
+        cax = w * dx
+        cay = w * dy
+        caz = w * dz
+        csp = mu
+        if quad:
+            # Traceless quadrupole: a += -G(Q dx)/r^5 + (5G/2)(dx'Q dx) dx/r^7,
+            # phi += -(G/2)(dx'Q dx)/r^5 (dx = com - x).
+            qxx = src[:, 4:5]
+            qyy = src[:, 5:6]
+            qxy = src[:, 6:7]
+            qxz = src[:, 7:8]
+            qyz = src[:, 8:9]
+            qzz = -(qxx + qyy)
+            qdx = qxx * dx + qxy * dy + qxz * dz
+            qdy = qxy * dx + qyy * dy + qyz * dz
+            qdz = qxz * dx + qyz * dy + qzz * dz
+            qq = qdx * dx + qdy * dy + qdz * dz
+            u4 = u2 * u2
+            u5 = u4 * u
+            c1 = (2.5 * qq) * (u5 * u2)
+            cax = cax + c1 * dx - u5 * qdx
+            cay = cay + c1 * dy - u5 * qdy
+            caz = caz + c1 * dz - u5 * qdz
+            csp = csp + (0.5 * qq) * u5
+        ax = ax + fold8(cax)
+        ay = ay + fold8(cay)
+        az = az + fold8(caz)
+        if compute_pot:
+            sp = sp + fold8(csp)
+        return ax, ay, az, sp
 
-            dx = xj - xi                      # (G, S_in)
-            dy = yj - yi
-            dz = zj - zi
-            r2 = dx * dx + dy * dy + dz * dz + eps2
-            u = jax.lax.rsqrt(r2)
-            if guard_zero:
-                u = jnp.where(r2 > 0.0, u, 0.0)
-            mu = mj * u
-            u2 = u * u
-            w = mu * u2
-            cax = w * dx
-            cay = w * dy
-            caz = w * dz
-            csp = mu
-            if quad:
-                # Traceless quadrupole: a += -G(Q dx)/r^5 + (5G/2)(dx'Q dx) dx/r^7,
-                # phi += -(G/2)(dx'Q dx)/r^5 (dx = com - x).
-                qxx = src[4:5, :]
-                qyy = src[5:6, :]
-                qxy = src[6:7, :]
-                qxz = src[7:8, :]
-                qyz = src[8:9, :]
-                qzz = -(qxx + qyy)
-                qdx = qxx * dx + qxy * dy + qxz * dz
-                qdy = qxy * dx + qyy * dy + qyz * dz
-                qdz = qxz * dx + qyz * dy + qzz * dz
-                qq = qdx * dx + qdy * dy + qdz * dz
-                u4 = u2 * u2
-                u5 = u4 * u
-                c1 = (2.5 * qq) * (u5 * u2)
-                cax = cax + c1 * dx - u5 * qdx
-                cay = cay + c1 * dy - u5 * qdy
-                caz = caz + c1 * dz - u5 * qdz
-                csp = csp + (0.5 * qq) * u5
-            ax = ax + jnp.sum(cax, axis=1, keepdims=True)
-            ay = ay + jnp.sum(cay, axis=1, keepdims=True)
-            az = az + jnp.sum(caz, axis=1, keepdims=True)
-            if compute_pot:
-                sp = sp + jnp.sum(csp, axis=1, keepdims=True)
-
-        out_ref[0] = jnp.concatenate(
-            [jnp.transpose(ax), jnp.transpose(ay),
-             jnp.transpose(az), jnp.transpose(sp)], axis=0)
+    n_live = jnp.minimum((count + s_in - 1) // s_in, s_outer)
+    ax, ay, az, sp = jax.lax.fori_loop(0, n_live, body, (z8, z8, z8, z8))
+    out_ref[0] = jnp.concatenate(
+        [jnp.sum(ax, axis=0, keepdims=True),
+         jnp.sum(ay, axis=0, keepdims=True),
+         jnp.sum(az, axis=0, keepdims=True),
+         jnp.sum(sp, axis=0, keepdims=True)], axis=0)
 
 
-def _gathered_call(tgt_t, src, cnt, *, eps2, guard_zero, chunk_start,
-                   interpret, compute_pot=True):
-    """tgt_t: (L, 4, G); src: (L, S_outer, 4, S_in); cnt: (L, 1) int32 ->
-    (L, 4, G) partial sums for this chunk."""
+def _gathered_call(tgt_t, src, cnt, *, eps2, guard_zero, quad, interpret,
+                   compute_pot=True):
+    """tgt_t: (L, 4, G); src: (L, S_outer, S_in, 128) node rows; cnt: (L, 1)
+    int32 -> (L, 4, G) sums over each target's count live entries."""
     n_slice, _, leaf_size = tgt_t.shape
-    s_outer, n_comp, s_in = src.shape[1], src.shape[2], src.shape[3]
+    s_outer, s_in = src.shape[1], src.shape[2]
     return pl.pallas_call(
         functools.partial(_gathered_kernel, eps2=eps2, guard_zero=guard_zero,
-                          chunk_start=chunk_start, compute_pot=compute_pot),
+                          quad=quad, compute_pot=compute_pot),
         out_shape=jax.ShapeDtypeStruct((n_slice, 4, leaf_size), tgt_t.dtype),
         grid=(n_slice,),
         in_specs=[
             pl.BlockSpec((8, 1), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_outer, n_comp, s_in), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, s_outer, s_in, 128), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=15 * n_slice * s_outer * s_in * leaf_size,
-            bytes_accessed=n_slice * (s_outer * s_in + leaf_size) * 16,
+            bytes_accessed=n_slice * s_outer * s_in * 512,
             transcendentals=n_slice * s_outer * s_in * leaf_size,
         ),
         interpret=interpret,
@@ -173,10 +192,9 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
     zeros = jnp.zeros((xi.shape[0], 1), xi.dtype)
     unroll = 4
 
-    def one(k, carry):
-        """One list entry: its (G, G) interaction tile. k past hi is masked
-        via zeroed mass (clamped read keeps the index in range)."""
-        ax, ay, az, sp = carry
+    def one(k):
+        """One list entry's weighted (G, G) tile contributions. k past hi is
+        masked via zeroed mass (clamped read keeps the index in range)."""
         kk = jnp.minimum(k, hi - 1)
         src = table_ref[idx_ref[t % 8, kk] - base]  # (4, G) dynamic VMEM read
         xj = src[0:1, :]
@@ -192,21 +210,31 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
             u = jnp.where(r2 > 0.0, u, 0.0)
         mu = mj * u
         w = mu * (u * u)
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        if compute_pot:
-            sp = sp + jnp.sum(mu, axis=1, keepdims=True)
-        return ax, ay, az, sp
+        return w * dx, w * dy, w * dz, mu
 
     def body(c, carry):
         # `unroll` independent entries per trip: amortizes the scalar
         # bookkeeping and lets the dependent dynamic loads overlap the
         # previous entries' vector work (measured 1.6x on v5e vs unroll=1).
+        # The weighted tiles are SUMMED WIDE across the trip and lane-reduced
+        # once — per-entry reductions were ~17% of the kernel (4 reductions
+        # x 7 shuffle steps over a 2-lane-tile row, measured round 3).
+        ax, ay, az, sp = carry
         k0 = lo + c * unroll
-        for u in range(unroll):
-            carry = one(k0 + u, carry)
-        return carry
+        cax, cay, caz, csp = one(k0)
+        for u in range(1, unroll):
+            tx, ty, tz, tp = one(k0 + u)
+            cax = cax + tx
+            cay = cay + ty
+            caz = caz + tz
+            if compute_pot:
+                csp = csp + tp
+        ax = ax + jnp.sum(cax, axis=1, keepdims=True)
+        ay = ay + jnp.sum(cay, axis=1, keepdims=True)
+        az = az + jnp.sum(caz, axis=1, keepdims=True)
+        if compute_pot:
+            sp = sp + jnp.sum(csp, axis=1, keepdims=True)
+        return ax, ay, az, sp
 
     n_trips = (hi - lo + unroll - 1) // unroll
     ax, ay, az, sp = jax.lax.fori_loop(0, n_trips, body,
@@ -304,47 +332,101 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     return _unpack(out, g)
 
 
+_FAR_S_IN = 128  # sub-tile height: count skipping quantum inside the kernel
+
+
+def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
+              interpret, compute_pot, scattered_valid=False):
+    """Gather + evaluate one row bin. tgt_t: (L, 4, G); tab: (n, 128) node
+    rows; idx/valid: (L, B); cnt: (L,) live-entry counts (<= B).
+
+    The gather reads full-lane (n, 128) rows — row-count-bound at ~255M
+    rows/s on v5e (scripts/gather_rate_probe.py); a (n, 9) or (n, 16) table
+    would pad its minor dim to 128 in the HBM layout anyway, costing the
+    same bytes, and a (9, n) lane-gather + transpose measured 1.35x slower
+    with a 137 s XLA compile. Front-packed invalidity is masked in-kernel
+    by count; scattered_valid=True zeroes whole rows here instead (safe:
+    every acceleration term scales with m or Q, which live in the row)."""
+    n_slice, budget = idx.shape
+    pad = (-budget) % _FAR_S_IN
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((n_slice, pad), idx.dtype)], axis=1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((n_slice, pad), bool)], axis=1)
+        budget += pad
+    s_outer = budget // _FAR_S_IN
+    src = tab[idx]                                        # (Ls, B, 128)
+    if scattered_valid:
+        src = src * valid[..., None].astype(src.dtype)
+    src = src.reshape(n_slice, s_outer, _FAR_S_IN, 128)
+    return _gathered_call(tgt_t, src, cnt[:, None].astype(jnp.int32),
+                          eps2=eps2, guard_zero=guard_zero, quad=quad,
+                          interpret=interpret, compute_pot=compute_pot)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("g", "softening", "guard_zero", "interpret",
-                     "front_packed", "compute_pot"),
+                     "front_packed", "compute_pot", "bin_rows", "bin_budget"),
 )
 def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
-                     interpret=False, front_packed=True, compute_pot=True):
+                     interpret=False, front_packed=True, compute_pot=True,
+                     bin_rows=0, bin_budget=0):
     """Multipole far field: targets (Ls, G, 3) against per-target lists of
     accepted nodes idx/valid (Ls, B) over the global node table — (n, 4)
     [com, mass] monopole or (n, 9) [com, mass, Qxx, Qyy, Qxy, Qxz, Qyz]
     quadrupole (any mix of tree levels — the lists encode the structure, so
     upper-level and leaf-level nodes share one kernel).
 
-    front_packed=False: `valid` is a raw scattered mask (e.g. the dense
-    upper-level acceptance mask used as a full-width list) — chunk skipping
-    by a per-target count would drop valid entries past the count, so every
-    chunk is evaluated (invalid entries contribute nothing via zeroed
-    moments)."""
-    budget = idx.shape[1]
-    dtype = tgt_leaves.dtype
-    nodes_t = nodes.T  # (C, n_nodes): gather along lanes, no C->128 padding
+    Returns (acc, pot, overflow).
 
+    front_packed=False: `valid` is a raw scattered mask — count skipping
+    would drop valid entries past the count, so every sub-tile is evaluated
+    (invalid entries contribute nothing via zeroed moments).
+
+    bin_rows > 0 (front-packed lists only): count-sorted two-bin evaluation.
+    The budget-wide node gather dominates this kernel's cost at scale and
+    cannot skip by count, so rows are sorted by list length: the bin_rows
+    longest rows keep the full budget, the rest gather only bin_budget
+    columns (entries past bin_budget in those rows are CLIPPED and counted
+    in the returned overflow — size bin_budget from the measured list-length
+    distribution, e.g. tree_stats). Row order is restored before returning."""
+    dtype = tgt_leaves.dtype
+    n_slice = tgt_leaves.shape[0]
+    budget = idx.shape[1]
+    n_comp = nodes.shape[1]
+    # Full-lane row table: [x, y, z, m (, Qxx, Qyy, Qxy, Qxz, Qyz)] + zeros.
+    tab = jnp.zeros((nodes.shape[0], 128), dtype).at[:, :n_comp].set(nodes)
     tgt_t = _to_tgt_t(tgt_leaves)
     if front_packed:
-        cnt = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None]
+        cnt = jnp.sum(valid.astype(jnp.int32), axis=1)
     else:
-        cnt = jnp.full((tgt_leaves.shape[0], 1), budget, jnp.int32)
-    chunk = min(512, budget)
+        cnt = jnp.full((n_slice,), budget, jnp.int32)
     eps2 = float(softening) ** 2
+    kw = dict(eps2=eps2, guard_zero=guard_zero, quad=n_comp >= 9,
+              interpret=interpret, compute_pot=compute_pot,
+              scattered_valid=not front_packed)
 
-    out = jnp.zeros_like(tgt_t)
-    for c0 in range(0, budget, chunk):
-        k = min(chunk, budget - c0)
-        ii = idx[:, c0:c0 + k]
-        vv = valid[:, c0:c0 + k]
-        src = jnp.swapaxes(nodes_t[:, ii], 0, 1)          # (Ls, C, k)
-        # Zero mass AND moments of invalid entries (quadrupole terms do not
-        # scale with mass, so masking mass alone is not enough).
-        src = src.at[:, 3:, :].multiply(vv[:, None, :].astype(dtype))
-        out = out + _gathered_call(tgt_t, src[:, None], cnt, eps2=eps2,
-                                   guard_zero=guard_zero, chunk_start=c0,
-                                   interpret=interpret,
-                                   compute_pot=compute_pot)
-    return _unpack(out, g)
+    binned = (front_packed and 0 < bin_rows < n_slice
+              and 0 < bin_budget < budget)
+    if not binned:
+        out = _far_eval(tgt_t, tab, idx, valid, cnt, **kw)
+        acc, pot = _unpack(out, g)
+        return acc, pot, jnp.zeros((), jnp.int32)
+
+    order = jnp.argsort(-cnt)
+    inv = jnp.argsort(order)
+    tgt_p = tgt_t[order]        # (Ls, 4, G) row gather: full-lane rows, fast
+    idx_p = idx[order]
+    valid_p = valid[order]
+    cnt_p = cnt[order]
+    out_hi = _far_eval(tgt_p[:bin_rows], tab, idx_p[:bin_rows],
+                       valid_p[:bin_rows], cnt_p[:bin_rows], **kw)
+    cnt_lo = jnp.minimum(cnt_p[bin_rows:], bin_budget)
+    overflow = jnp.sum(jnp.maximum(cnt_p[bin_rows:] - bin_budget, 0))
+    out_lo = _far_eval(tgt_p[bin_rows:], tab, idx_p[bin_rows:, :bin_budget],
+                       valid_p[bin_rows:, :bin_budget], cnt_lo, **kw)
+    out = jnp.concatenate([out_hi, out_lo], axis=0)[inv]
+    acc, pot = _unpack(out, g)
+    return acc, pot, overflow.astype(jnp.int32)

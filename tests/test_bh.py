@@ -357,10 +357,10 @@ def test_quadrupole_two_mass_node():
         [jnp.zeros((1, 3)), jnp.asarray([[2 * m]]), q5], axis=1)  # (1, 9)
     idx = jnp.zeros((1, 8), jnp.int32)
     valid = jnp.zeros((1, 8), bool).at[0, 0].set(True)
-    acc_q, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
-                                interpret=True)
-    acc_m, _ = far_field_pallas(tgt, nodes[:, :4], idx, valid, 1.0, 0.0,
-                                False, interpret=True)
+    acc_q, _, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
+                                   interpret=True)
+    acc_m, _, _ = far_field_pallas(tgt, nodes[:, :4], idx, valid, 1.0, 0.0,
+                                   False, interpret=True)
     err_q = np.max(np.abs(np.asarray(acc_q) - a_ex))
     err_m = np.max(np.abs(np.asarray(acc_m) - a_ex))
     assert err_q < err_m / 100, (err_q, err_m)
@@ -406,7 +406,7 @@ def test_upper_far_list_not_front_packed():
     idx = jnp.broadcast_to(jnp.arange(n_nodes, dtype=jnp.int32)[None], (1, n_nodes))
     valid = jnp.zeros((1, n_nodes), bool).at[0, 600].set(True)
 
-    acc, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
-                              interpret=True, front_packed=False)
-    # count=1 < chunk_start=512 would have skipped the only real source.
+    acc, _, _ = far_field_pallas(tgt, nodes, idx, valid, 1.0, 0.0, False,
+                                 interpret=True, front_packed=False)
+    # count=1 with front-packed skipping would have missed the only source.
     assert float(jnp.min(jnp.abs(acc[:, 0]))) > 0.5
