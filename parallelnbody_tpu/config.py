@@ -77,6 +77,12 @@ class SimConfig:
                                    # theta=0.72 measured max ~1300)
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)
+    bh_distributed: bool = False   # multi-chip BH: False = replicated tree
+                                   # (parallel/sharded.py; best to ~8 chips),
+                                   # True = distributed sample-sort + local
+                                   # trees + ring near field
+                                   # (parallel/distributed.py, SURVEY §7
+                                   # stage 6; O(N/P) memory per chip)
     bh_multipole: int = 2          # 1 = monopole, 2 = + traceless quadrupole
                                    # (lets theta open ~2x at equal accuracy)
     bh_max_levels: int = 12

@@ -118,7 +118,18 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel,
     radius = jnp.max(jnp.where(m > 0, r, 0.0), axis=1)
     quad = _quad_about(d, m) if multipole_order >= 2 else None
 
-    coms, masses, radii, quads = [com], [msum], [radius], [quad]
+    return build_upper(com, msum, radius, quad, sentinel,
+                       max_levels=max_levels)
+
+
+def build_upper(com, mass, radius, quad, sentinel, *,
+                max_levels: int = 12) -> BHTree:
+    """Upper multipole pyramid from a leaf-level summary table (level 0 of
+    the result). Factored out of build_tree so the distributed path can
+    rebuild the (replicated) global upper tree from all-gathered per-rank
+    leaf summaries without any particle data (SURVEY.md §7 stage 6).
+    quad=None builds a monopole pyramid."""
+    coms, masses, radii, quads = [com], [mass], [radius], [quad]
     while coms[-1].shape[0] > 1 and len(coms) < max_levels:
         n_k = coms[-1].shape[0]
         b = 8 if (n_k % 8 == 0 and n_k >= 8) else n_k
@@ -134,7 +145,7 @@ def build_tree(pos_sorted, mass_sorted, leaf_size: int, sentinel,
         sdisp = c - com_k[:, None, :]
         spread = jnp.linalg.norm(sdisp, axis=-1) + rr
         rad_k = jnp.max(jnp.where(mm > 0, spread, 0.0), axis=1)
-        if multipole_order >= 2:
+        if quads[-1] is not None:
             qk = jnp.sum(quads[-1].reshape(-1, b, 5), axis=1)
             qk = qk + _quad_about(sdisp, mm)
             quads.append(qk)
@@ -406,25 +417,14 @@ def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
     return pos_s, mass_s, perm, tree, n, n_pad
 
 
-def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
-                   n_slice, leaf_size, theta, g, softening, near_budget,
-                   far0_budget, use_pallas, compute_pot=True):
-    """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
-    in sorted order. start_leaf may be traced (multi-chip target partition).
-    Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
+def build_interaction_lists(tree, far_masks, rejects_l1, *, theta, start_leaf,
+                            n_slice, near_budget, far0_budget, dtype):
+    """Interaction lists + node tables for one target window. Needs only the
+    (possibly gathered) tree — no particle data — so the distributed path
+    (parallel/distributed.py) shares it verbatim.
 
-    Everything is per-target lists of sources evaluated by the gathered-chunk
-    kernels (ops/pallas_bh.py): upper-level accepted nodes (dense mask used
-    directly as validity), leaf-level accepted monopoles (compacted), and
-    exact near leaves (compacted)."""
-    dtype = pos_s.dtype
-    n_pad = pos_s.shape[0]
-    n_leaves = n_pad // leaf_size
-    eps2 = jnp.asarray(softening, dtype) ** 2
-    guard_zero = softening == 0.0
-
-    p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
-    tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
+    Returns (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
+    nodes_up, leaf_nodes, overflow)."""
     near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
         tree, rejects_l1, theta, start_leaf=start_leaf, n_slice=n_slice,
         near_budget=near_budget, far0_budget=far0_budget)
@@ -445,18 +445,32 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
     # far_masks arrive pre-sliced to this target window (traverse slice).
     up_mask = jnp.concatenate(
         [far_masks[k] for k in range(1, tree.n_levels)], axis=1)
-    # Front-pack the (narrow) dense acceptance mask so the kernel's chunk
+    # Front-pack the (narrow) dense acceptance mask so the kernel's count
     # skipping bites: mean accepted count is ~half the width (measured 274 of
     # 585 at N=1M), and the compacting row sort costs ~3 ms vs the ~15 ms of
-    # far-kernel time the skipped chunks save. Budget = full width -> the
+    # far-kernel time the skipped sub-tiles save. Budget = full width -> the
     # compaction cannot overflow.
     cols_up = jax.lax.broadcasted_iota(jnp.int32, up_mask.shape, 1)
     up_idx, up_valid, _ = _row_compact(up_mask, cols_up, n_up)
     leaf_nodes = node_table(0)
+    return (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
+            nodes_up, leaf_nodes, overflow)
+
+
+def eval_far_lists(tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes,
+                   far0_idx, far0_valid, *, g, softening, use_pallas,
+                   compute_pot=True):
+    """Both far classes (upper accepted nodes + leaf-level accepted
+    multipoles) for one target window. Returns (acc, pot) flat over the
+    window's particles."""
+    dtype = tgt_leaves.dtype
+    n_slice, leaf_size, _ = tgt_leaves.shape
+    eps2 = jnp.asarray(softening, dtype) ** 2
+    guard_zero = softening == 0.0
+    with_quad = leaf_nodes.shape[1] >= 9
 
     if use_pallas:
-        from parallelnbody_tpu.ops.pallas_bh import (
-            far_field_pallas, near_field_pallas)
+        from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
 
         interpret = jax.default_backend() != "tpu"
         acc, pot, _ = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
@@ -472,41 +486,76 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
         a, ph, _ = far_field_pallas(
             tgt_leaves, leaf_nodes, far0_idx, far0_valid, g, float(softening),
             guard_zero, interpret=interpret, compute_pot=compute_pot)
-        acc, pot = acc + a, pot + ph
+        return acc + a, pot + ph
+
+    def far_list_jnp(nodes_table, idx, valid, chunk):
+        acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
+        pot = jnp.zeros((n_slice * leaf_size,), dtype)
+        b = idx.shape[1]
+        for c0 in range(0, b, chunk):
+            ii = idx[:, c0:c0 + chunk]
+            vv = valid[:, c0:c0 + chunk]
+            npos = nodes_table[ii, :3]
+            nm = jnp.where(vv, nodes_table[ii, 3], 0.0).astype(dtype)
+            nq = (jnp.where(vv[..., None], nodes_table[ii, 4:9], 0.0)
+                  if with_quad else None)
+            block = max(1, min(n_slice,
+                               (1 << 21) // max(leaf_size * chunk, 1)))
+            while n_slice % block:
+                block -= 1
+            a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
+                              block, node_quad=nq)
+            acc, pot = acc + a, pot + ph
+        return acc, pot
+
+    acc, pot = far_list_jnp(nodes_up, up_idx, up_valid,
+                            min(512, nodes_up.shape[0]))
+    a, ph = far_list_jnp(leaf_nodes, far0_idx, far0_valid,
+                         min(512, far0_idx.shape[1]))
+    return acc + a, pot + ph
+
+
+def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
+                   n_slice, leaf_size, theta, g, softening, near_budget,
+                   far0_budget, use_pallas, compute_pot=True):
+    """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
+    in sorted order. start_leaf may be traced (multi-chip target partition).
+    Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
+
+    Everything is per-target lists of sources evaluated by the gathered-chunk
+    kernels (ops/pallas_bh.py): upper-level accepted nodes (dense mask used
+    directly as validity), leaf-level accepted monopoles (compacted), and
+    exact near leaves (compacted)."""
+    dtype = pos_s.dtype
+    n_pad = pos_s.shape[0]
+    n_leaves = n_pad // leaf_size
+    eps2 = jnp.asarray(softening, dtype) ** 2
+    guard_zero = softening == 0.0
+
+    p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
+    tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
+    (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
+     nodes_up, leaf_nodes, overflow) = build_interaction_lists(
+        tree, far_masks, rejects_l1, theta=theta, start_leaf=start_leaf,
+        n_slice=n_slice, near_budget=near_budget, far0_budget=far0_budget,
+        dtype=dtype)
+
+    acc, pot = eval_far_lists(
+        tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes, far0_idx,
+        far0_valid, g=g, softening=softening, use_pallas=use_pallas,
+        compute_pot=compute_pot)
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
         a, ph = near_field_pallas(pos_s, mass_s, tgt_leaves, near_idx,
                                   near_valid, leaf_size, g, float(softening),
-                                  guard_zero, interpret=interpret,
+                                  guard_zero,
+                                  interpret=jax.default_backend() != "tpu",
                                   compute_pot=compute_pot)
-        acc, pot = acc + a, pot + ph
     else:
-        def far_list_jnp(nodes_table, idx, valid, chunk):
-            acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
-            pot = jnp.zeros((n_slice * leaf_size,), dtype)
-            b = idx.shape[1]
-            for c0 in range(0, b, chunk):
-                ii = idx[:, c0:c0 + chunk]
-                vv = valid[:, c0:c0 + chunk]
-                npos = nodes_table[ii, :3]
-                nm = jnp.where(vv, nodes_table[ii, 3], 0.0).astype(dtype)
-                nq = (jnp.where(vv[..., None], nodes_table[ii, 4:9], 0.0)
-                      if with_quad else None)
-                block = max(1, min(n_slice,
-                                   (1 << 21) // max(leaf_size * chunk, 1)))
-                while n_slice % block:
-                    block -= 1
-                a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
-                                  block, node_quad=nq)
-                acc, pot = acc + a, pot + ph
-            return acc, pot
-
-        acc, pot = far_list_jnp(nodes_up, up_idx, up_valid, min(512, n_up))
-        a, ph = far_list_jnp(leaf_nodes, far0_idx, far0_valid,
-                             min(512, far0_idx.shape[1]))
-        acc, pot = acc + a, pot + ph
         a, ph = _near_field_jnp(pos_s, mass_s, tgt_leaves, near_idx,
                                 near_valid, leaf_size, g, eps2, guard_zero)
-        acc, pot = acc + a, pot + ph
-    return acc, pot, overflow
+    return acc + a, pot + ph, overflow
 
 
 @functools.partial(

@@ -251,7 +251,7 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
 )
 def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
                       softening, guard_zero, interpret=False,
-                      compute_pot=True, seg_bytes=4 << 20):
+                      compute_pot=True, seg_bytes=4 << 20, leaf_lo=None):
     """Exact near field: targets (Ls, G, 3) against per-target lists of
     source leaves idx/valid (Ls, B) over the global sorted particles.
 
@@ -264,11 +264,20 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     budget 512) plus 32-entry compute quantization: measured 376 ms -> see
     DESIGN.md (the round-1 design's gather+quantization waste was ~60% of its
     runtime). Round-1's rejected alternative — per-entry in-kernel DMAs from
-    HBM — stays rejected: those are latency-bound at ~1 us/tile."""
+    HBM — stays rejected: those are latency-bound at ~1 us/tile.
+
+    leaf_lo (traced scalar, default 0): pos_s/mass_s hold only the SHARD of
+    the globally sorted particles whose leaves span
+    [leaf_lo, leaf_lo + n_shard_leaves) — idx keeps GLOBAL leaf ids and
+    entries outside the window are skipped by the same [lo, hi) position
+    bounds (ascending lists make every window a contiguous run). This is the
+    multi-chip ring-pass building block (parallel/distributed.py): each
+    ppermute pass evaluates the visiting shard's window."""
     budget = idx.shape[1]
     dtype = pos_s.dtype
     n_leaves = pos_s.shape[0] // leaf_size
     n_slice = tgt_leaves.shape[0]
+    leaf_lo = jnp.asarray(0 if leaf_lo is None else leaf_lo, jnp.int32)
 
     # Source table: (n_leaves, 4, G) rows, 2x lane padding at worst.
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
@@ -285,18 +294,16 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
             [p_t4, jnp.zeros((pad, 4, leaf_size), dtype)], axis=0)
 
     # Per-target segment boundaries over the ascending front-packed lists:
-    # bnd[:, s] = #entries with leaf id < s * rows_per_seg.
-    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
-    bnds = [jnp.zeros((n_slice,), jnp.int32)]
-    for s in range(1, n_seg):
-        bnds.append(jnp.sum(valid & (idx < s * rows_per_seg), axis=1,
-                            dtype=jnp.int32))
-    bnds.append(counts)
+    # bnd[:, s] = #list positions with leaf id < leaf_lo + s * rows_per_seg.
+    bnds = [jnp.sum(valid & (idx < leaf_lo + s * rows_per_seg), axis=1,
+                    dtype=jnp.int32) for s in range(n_seg + 1)]
     bnd = jnp.stack(bnds, axis=1)                     # (Ls, n_seg + 1)
 
     tgt_t = _to_tgt_t(tgt_leaves)
     eps2 = float(softening) ** 2
-    idx = idx.astype(jnp.int32)
+    # Kernel reads shard-relative ids; positions outside the window bounds
+    # are never read, so out-of-window values (negative / huge) are inert.
+    idx = idx.astype(jnp.int32) - leaf_lo
 
     out = jnp.zeros_like(tgt_t)
     for s in range(n_seg):

@@ -11,6 +11,7 @@ networking.
 from parallelnbody_tpu.parallel.mesh import make_ring_mesh, shard_state, state_pspecs
 from parallelnbody_tpu.parallel.ring import ring_accel
 from parallelnbody_tpu.parallel.sharded import make_sharded_step, make_sharded_run
+from parallelnbody_tpu.parallel.distributed import dist_bh_accel
 
 __all__ = [
     "make_ring_mesh",
@@ -19,4 +20,5 @@ __all__ = [
     "ring_accel",
     "make_sharded_step",
     "make_sharded_run",
+    "dist_bh_accel",
 ]

@@ -91,7 +91,13 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Call
     specs = state_pspecs(axis)
 
     def local_step(state: SimState) -> SimState:
-        if cfg.resolve_force() == "barnes_hut":
+        if cfg.resolve_force() == "barnes_hut" and cfg.bh_distributed:
+            from parallelnbody_tpu.parallel.distributed import dist_bh_accel
+
+            def accel_fn(pos):
+                acc, pot, _ = dist_bh_accel(pos, state.mass, cfg, axis)
+                return acc, pot
+        elif cfg.resolve_force() == "barnes_hut":
             def accel_fn(pos):
                 return _bh_sharded_accel(pos, state.mass, cfg, axis)
         else:
@@ -148,8 +154,13 @@ def sharded_bh_overflow(cfg: SimConfig, mesh: Mesh, state: SimState,
     specs = state_pspecs(axis)
 
     def local(state: SimState):
-        _, _, overflow = _bh_sharded_accel(state.pos, state.mass, cfg, axis,
-                                           with_overflow=True)
+        if cfg.bh_distributed:
+            from parallelnbody_tpu.parallel.distributed import dist_bh_accel
+
+            _, _, overflow = dist_bh_accel(state.pos, state.mass, cfg, axis)
+        else:
+            _, _, overflow = _bh_sharded_accel(state.pos, state.mass, cfg,
+                                               axis, with_overflow=True)
         return overflow
 
     fn = shard_map(local, mesh=mesh, in_specs=(specs,), out_specs=P(),
@@ -162,7 +173,11 @@ def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = 
     specs = state_pspecs(axis)
 
     def local_init(state: SimState) -> SimState:
-        if cfg.resolve_force() == "barnes_hut":
+        if cfg.resolve_force() == "barnes_hut" and cfg.bh_distributed:
+            from parallelnbody_tpu.parallel.distributed import dist_bh_accel
+
+            acc, pot, _ = dist_bh_accel(state.pos, state.mass, cfg, axis)
+        elif cfg.resolve_force() == "barnes_hut":
             acc, pot = _bh_sharded_accel(state.pos, state.mass, cfg, axis)
         else:
             tile_fn = _make_tile_fn(cfg, state.n)

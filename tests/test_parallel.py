@@ -203,3 +203,87 @@ def test_ring_with_pallas_tile_interpret(eight_devices):
     acc, pot = jax.jit(fn)(state.pos, state.mass)
     np.testing.assert_allclose(np.asarray(acc), np.asarray(state.acc),
                                rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------- distributed BH
+def _dist_cfg(n, n_dev):
+    return SimConfig(n=n, ic="plummer", dt=1e-3, softening=0.02,
+                     force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
+                     dtype="float64", bh_distributed=True)
+
+
+def test_distributed_bh_accuracy(eight_devices):
+    """Stage-6 distributed BH (sample-sort + local trees + ring near field)
+    must match the direct sum at the same accuracy class as single-chip BH,
+    with zero exchange/list overflow."""
+    from parallelnbody_tpu.ops.direct import direct_accel
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    cfg = _dist_cfg(2048, 8)
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    ref = make_step(cfg.replace(bh_distributed=False))(state)
+    out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+
+    acc_d, _ = direct_accel(state.pos, state.mass, g=cfg.g,
+                            softening=cfg.softening)
+    den = float(jnp.sqrt(jnp.mean(jnp.sum(jnp.asarray(acc_d) ** 2, 1))))
+    rms_dist = float(jnp.sqrt(jnp.mean(jnp.sum((out.acc - acc_d) ** 2, 1)))) / den
+    rms_ref = float(jnp.sqrt(jnp.mean(jnp.sum((ref.acc - acc_d) ** 2, 1)))) / den
+    assert np.all(np.isfinite(np.asarray(out.acc)))
+    # same accuracy class as the replicated-tree path (leaf grouping differs
+    # by the per-rank padding, so bitwise equality is not expected)
+    assert rms_dist < 1.5 * rms_ref + 1e-3, (rms_dist, rms_ref)
+    assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) == 0
+
+
+@pytest.mark.parametrize("n_dev", [3, 8])
+def test_distributed_bh_any_rank_count(eight_devices, n_dev):
+    cfg = _dist_cfg(256 * n_dev, n_dev)
+    mesh = make_ring_mesh(n_dev)
+    state = init_simulation(cfg)
+    ref = make_step(cfg.replace(bh_distributed=False))(state)
+    out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+    den = float(jnp.sqrt(jnp.mean(jnp.sum(ref.acc ** 2, 1))))
+    diff = float(jnp.sqrt(jnp.mean(jnp.sum((out.acc - ref.acc) ** 2, 1)))) / den
+    assert diff < 2e-3, diff
+
+
+def test_distributed_bh_multi_step_migration(eight_devices):
+    """Several fused steps: the repartition runs from an already-partitioned
+    state (steady-state path: few migrants) and stays conservative."""
+    from parallelnbody_tpu.parallel import make_sharded_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(1024, 8)
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    out = make_sharded_run(cfg, mesh, 5)(state)
+    assert int(out.step) == 5
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    # momentum conservation (forces antisymmetric up to BH approximation)
+    p0 = jnp.sum(state.mass[:, None] * state.vel, axis=0)
+    p1 = jnp.sum(out.mass[:, None] * out.vel, axis=0)
+    mv = float(jnp.sqrt(jnp.sum(state.mass[:, None] * state.vel ** 2)))
+    assert float(jnp.linalg.norm(p1 - p0)) < 5e-3 * mv
+
+
+def test_distributed_bh_exchange_overflow_reported(eight_devices):
+    """An adversarially pre-partitioned state (every particle belongs to one
+    key range) must REPORT exchange overflow, not drop silently."""
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    cfg = _dist_cfg(1024, 8)
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    # order particles by descending x before sharding: each rank then holds
+    # a contiguous slab of key space owned by OTHER ranks, so per-pair flows
+    # approach n_local and must blow the static cap_pair (keys themselves
+    # are scale-invariant — quantile splitters absorb any density change,
+    # only placement correlation can overflow the exchange)
+    order = jnp.argsort(-state.pos[:, 0])
+    state = state._replace(pos=state.pos[order], vel=state.vel[order],
+                           mass=state.mass[order], acc=state.acc[order],
+                           pot=state.pot[order])
+    assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) > 0
