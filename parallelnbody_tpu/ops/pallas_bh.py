@@ -190,7 +190,12 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
     yi = jnp.transpose(tgt[1:2, :])
     zi = jnp.transpose(tgt[2:3, :])
     zeros = jnp.zeros((xi.shape[0], 1), xi.dtype)
-    unroll = 4
+    # Unrolled entries' (G, G) temporaries live on the VMEM stack (~2.75 MB
+    # per entry at G=512): unroll 8 fits comfortably at G<=256 (measured
+    # best) but blows the 16 MB scoped-vmem limit at G=512 (26.3 M at
+    # N=4M); unroll 4 fits there (N=4M measured 1473 ms/step vs 1516 at
+    # unroll 2, at the price of a longer compile).
+    unroll = 8 if xi.shape[0] <= 256 else 4
 
     def one(k):
         """One list entry's weighted (G, G) tile contributions. k past hi is
@@ -342,6 +347,9 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
 _FAR_S_IN = 128  # sub-tile height: count skipping quantum inside the kernel
 
 
+_FAR_GATHER_BYTES = 2 << 30  # cap on one gathered (rows x budget x 512B) buffer
+
+
 def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
               interpret, compute_pot, scattered_valid=False):
     """Gather + evaluate one row bin. tgt_t: (L, 4, G); tab: (n, 128) node
@@ -353,7 +361,11 @@ def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
     same bytes, and a (9, n) lane-gather + transpose measured 1.35x slower
     with a 137 s XLA compile. Front-packed invalidity is masked in-kernel
     by count; scattered_valid=True zeroes whole rows here instead (safe:
-    every acceleration term scales with m or Q, which live in the row)."""
+    every acceleration term scales with m or Q, which live in the row).
+
+    Evaluation is chunked over target rows so the 512 B/entry gathered
+    buffer stays under _FAR_GATHER_BYTES (at N=4M / 8192 leaves a single
+    full-width buffer is ~6.4 GB and the remote compile falls over)."""
     n_slice, budget = idx.shape
     pad = (-budget) % _FAR_S_IN
     if pad:
@@ -363,13 +375,21 @@ def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
             [valid, jnp.zeros((n_slice, pad), bool)], axis=1)
         budget += pad
     s_outer = budget // _FAR_S_IN
-    src = tab[idx]                                        # (Ls, B, 128)
-    if scattered_valid:
-        src = src * valid[..., None].astype(src.dtype)
-    src = src.reshape(n_slice, s_outer, _FAR_S_IN, 128)
-    return _gathered_call(tgt_t, src, cnt[:, None].astype(jnp.int32),
-                          eps2=eps2, guard_zero=guard_zero, quad=quad,
-                          interpret=interpret, compute_pot=compute_pot)
+
+    row_block = max(8, min(n_slice, _FAR_GATHER_BYTES // (budget * 512)))
+    outs = []
+    for r0 in range(0, n_slice, row_block):
+        rows = slice(r0, min(r0 + row_block, n_slice))
+        n_rows = rows.stop - rows.start
+        src = tab[idx[rows]]                              # (R, B, 128)
+        if scattered_valid:
+            src = src * valid[rows][..., None].astype(src.dtype)
+        src = src.reshape(n_rows, s_outer, _FAR_S_IN, 128)
+        outs.append(_gathered_call(
+            tgt_t[rows], src, cnt[rows][:, None].astype(jnp.int32),
+            eps2=eps2, guard_zero=guard_zero, quad=quad,
+            interpret=interpret, compute_pot=compute_pot))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(

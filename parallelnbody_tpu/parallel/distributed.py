@@ -194,6 +194,12 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
     sh_pos, sh_mass = pos_own, mass_own
     perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
     for p in range(n_ranks):
+        # Issue the next rotation BEFORE computing on the current shard (same
+        # double-buffered overlap as ring.py: the collective-permute has no
+        # data dependence on this pass's near evaluation).
+        if p < n_ranks - 1:
+            nxt_pos = lax.ppermute(sh_pos, axis, perm)
+            nxt_mass = lax.ppermute(sh_mass, axis, perm)
         owner = jnp.mod(rank - p, n_ranks).astype(jnp.int32)
         leaf_lo = owner * n_leaf_loc
         if use_pallas:
@@ -214,8 +220,7 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
         acc = acc + a
         pot = pot + ph
         if p < n_ranks - 1:
-            sh_pos = lax.ppermute(sh_pos, axis, perm)
-            sh_mass = lax.ppermute(sh_mass, axis, perm)
+            sh_pos, sh_mass = nxt_pos, nxt_mass
 
     # ---- reverse exchange: results back to each particle's origin rank
     dest_r = jnp.where(valid_own, id_own // n_local, n_ranks)

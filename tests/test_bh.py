@@ -410,3 +410,43 @@ def test_upper_far_list_not_front_packed():
                                  interpret=True, front_packed=False)
     # count=1 with front-packed skipping would have missed the only source.
     assert float(jnp.min(jnp.abs(acc[:, 0]))) > 0.5
+
+
+def test_near_kernel_shard_windows_sum_to_full():
+    """The ring-pass building block (near_field_pallas leaf_lo): evaluating
+    each shard's leaf-id window against its particle shard, summed over all
+    shards, must equal the single full-table evaluation. This is the pallas
+    path the distributed near ring (parallel/distributed.py) runs per
+    ppermute pass — the CPU-mesh distributed tests only exercise the jnp
+    branch, so this covers the kernel-side window arithmetic."""
+    from parallelnbody_tpu.ops.bh import _prepare, traverse, leaf_interactions
+    from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+    pos, _, mass = _plummer(2048, seed=23)
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
+                                                curve="hilbert")
+    n_leaves = n_pad // 32
+    _, rej = traverse(tree, 0.5)
+    idx, valid, _, _, _ = leaf_interactions(
+        tree, rej, 0.5, start_leaf=0, n_slice=n_leaves, near_budget=64,
+        far0_budget=256)
+    tgt = pos_s.reshape(n_leaves, 32, 3)
+    full = near_field_pallas(pos_s, mass_s, tgt, idx, valid, 32, 1.0, 0.02,
+                             False, interpret=True)
+
+    n_sh = 4
+    nl_sh = n_leaves // n_sh
+    acc = jnp.zeros_like(full[0])
+    pot = jnp.zeros_like(full[1])
+    for s in range(n_sh):
+        sh_pos = pos_s[s * nl_sh * 32:(s + 1) * nl_sh * 32]
+        sh_mass = mass_s[s * nl_sh * 32:(s + 1) * nl_sh * 32]
+        a, p = near_field_pallas(sh_pos, sh_mass, tgt, idx, valid, 32, 1.0,
+                                 0.02, False, interpret=True,
+                                 leaf_lo=jnp.int32(s * nl_sh))
+        acc = acc + a
+        pot = pot + p
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(full[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pot), np.asarray(full[1]),
+                               rtol=1e-4, atol=1e-6)
