@@ -409,9 +409,16 @@ def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
     else:
         pos_p, mass_p = pos, mass
 
-    perm = jnp.argsort(keys)
-    pos_s = pos_p[perm]
-    mass_s = mass_p[perm]
+    # Multi-operand (key, iota)-sort carrying the payload columns: measured
+    # 8.4 ms vs 23.4 ms for argsort + row gathers at N=1M on v5e — gathers
+    # through the lane-padded (N, 3) layout are the usual tax; multi-operand
+    # sorts stream at bandwidth. num_keys=2 reproduces stable-argsort
+    # tie-breaking exactly.
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, perm, sx, sy, sz, mass_s = jax.lax.sort(
+        (keys, iota, pos_p[:, 0], pos_p[:, 1], pos_p[:, 2], mass_p),
+        num_keys=2)
+    pos_s = jnp.stack([sx, sy, sz], axis=1)
     tree = build_tree(pos_s, mass_s, leaf_size, sentinel,
                       multipole_order=multipole_order, max_levels=max_levels)
     return pos_s, mass_s, perm, tree, n, n_pad
