@@ -78,6 +78,16 @@ def plan_tree(n: int, leaf_size: int, max_levels: int = 12):
     return n_leaves, n_leaves * leaf_size, levels
 
 
+def domain_cube(lo, hi):
+    """(center, half, sentinel) of the key-quantization cube from a particle
+    bounding box. Shared by the single-chip prepare and the distributed path
+    (which feeds collective pmin/pmax bounds) so both bin particles into
+    identical cells — their equivalence tests depend on it."""
+    center = 0.5 * (lo + hi)
+    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-12) * (1 + 1e-6)
+    return center, half, center + 4.0 * half
+
+
 def _quad_about(d, w):
     """Traceless quadrupole [Qxx, Qyy, Qxy, Qxz, Qyz] of weighted
     displacements d: (..., K, 3), w: (..., K) -> (..., 5)."""
@@ -393,9 +403,7 @@ def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
     # tighter keys).
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
-    center = 0.5 * (lo + hi)
-    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-12) * (1 + 1e-6)
-    sentinel = center + 4.0 * half
+    center, half, sentinel = domain_cube(lo, hi)
 
     encode = hilbert_encode if curve == "hilbert" else morton_encode
     keys = encode(pos, center, half)

@@ -11,10 +11,15 @@ design:
      sorts locally, and contributes SAMPLES_PER_RANK key quantiles; the
      all-gathered sample defines P-1 splitters (identical on every rank).
      Particles whose key range belongs to another rank migrate via ONE
-     `lax.all_to_all` with a static per-pair capacity — stayers never move,
-     so the steady-state (particles barely change rank between steps) sends
-     almost nothing. Comm: ~16 B per *migrating* particle, vs the replicated
-     path's 16 B x (P-1)/P per particle per step.
+     `lax.all_to_all` with a static per-pair capacity; stayers never move.
+     (The caller's state sharding is key-uncorrelated and restored by the
+     reverse exchange below, so under make_sharded_step ~(P-1)/P of the
+     particles migrate on EVERY step — the win of this design today is
+     O(N/P) per-chip memory and the removal of the replicated O(N log N)
+     sort, not total traffic, which stays the same order as the replicated
+     path's all_gathers. A persistently key-sharded state, which would make
+     the steady-state exchange near-empty, needs the state to carry its
+     particle ids through the public API — a future round.)
   2. **Local trees, replicated top.** Each rank sorts its owned range
      ((key, id) two-key sort — ties break by global id exactly like the
      single-chip stable argsort) and builds leaf summaries; one all_gather
@@ -54,7 +59,7 @@ from parallelnbody_tpu.ops.morton import morton_encode
 from parallelnbody_tpu.ops.hilbert import hilbert_encode
 from parallelnbody_tpu.ops.bh import (
     build_tree, build_upper, traverse, build_interaction_lists,
-    eval_far_lists, _near_field_jnp, use_pallas_bh,
+    eval_far_lists, _near_field_jnp, use_pallas_bh, domain_cube,
 )
 
 SAMPLES_PER_RANK = 64   # splitter sample quantiles per rank
@@ -64,9 +69,15 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def _plan(n_local: int, n_ranks: int, leaf_size: int):
-    """Static capacities: (cap_pair, own_cap, n_leaf_loc)."""
+    """Static capacities: (cap_pair, own_cap, n_leaf_loc). cap_pair is
+    raised if needed so the merged buffer (n_local stay slots + P*cap_pair
+    arrival slots) can always fill own_cap — otherwise small shards with
+    large leaf sizes would slice a shorter array than the leaf plan assumes
+    and fail at trace time."""
     cap_pair = max(8, int(PAIR_SLACK * n_local / max(n_ranks, 1) + 7) // 8 * 8)
     own_cap = -(-int(n_local * (1 + OWN_SLACK)) // leaf_size) * leaf_size
+    need = -(-(own_cap - n_local) // max(n_ranks, 1))
+    cap_pair = max(cap_pair, (need + 7) // 8 * 8)
     return cap_pair, own_cap, own_cap // leaf_size
 
 
@@ -116,12 +127,19 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
     use_pallas = use_pallas_bh()
 
     # ---- global domain cube + local keys (reference ComputeCubeSize
-    # semantics, OctreeSearch.cpp:47-56, via pmin/pmax collectives)
+    # semantics, OctreeSearch.cpp:47-56, via pmin/pmax collectives; the cube
+    # formula is shared with the single-chip prepare so both paths bin
+    # identically — ops/bh.py domain_cube)
     lo = lax.pmin(jnp.min(pos, axis=0), axis)
     hi = lax.pmax(jnp.max(pos, axis=0), axis)
-    center = 0.5 * (lo + hi)
-    half = jnp.maximum(jnp.max(0.5 * (hi - lo)), 1e-12) * (1 + 1e-6)
-    sentinel = center + 4.0 * half
+    center, half, sentinel = domain_cube(lo, hi)
+    # Padding slots sit at the sentinel; offset it per rank so the ranks'
+    # zero-mass pad leaves do not co-locate into one point cluster (a shared
+    # sentinel made every pad leaf a near candidate of every other rank's
+    # phantom target rows — able to trip the near budget's overflow signal
+    # for particles that do not exist at large P).
+    sentinel = sentinel + (rank.astype(pos.dtype) * half)[None] * jnp.array(
+        [1.0, 0.0, 0.0], pos.dtype)
     encode = hilbert_encode if cfg.bh_curve == "hilbert" else morton_encode
     keys = encode(pos, center, half)
 

@@ -206,7 +206,7 @@ def test_ring_with_pallas_tile_interpret(eight_devices):
 
 
 # ---------------------------------------------------------- distributed BH
-def _dist_cfg(n, n_dev):
+def _dist_cfg(n):
     return SimConfig(n=n, ic="plummer", dt=1e-3, softening=0.02,
                      force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
                      dtype="float64", bh_distributed=True)
@@ -219,7 +219,7 @@ def test_distributed_bh_accuracy(eight_devices):
     from parallelnbody_tpu.ops.direct import direct_accel
     from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
 
-    cfg = _dist_cfg(2048, 8)
+    cfg = _dist_cfg(2048)
     mesh = make_ring_mesh(8)
     state = init_simulation(cfg)
     ref = make_step(cfg.replace(bh_distributed=False))(state)
@@ -239,7 +239,7 @@ def test_distributed_bh_accuracy(eight_devices):
 
 @pytest.mark.parametrize("n_dev", [3, 8])
 def test_distributed_bh_any_rank_count(eight_devices, n_dev):
-    cfg = _dist_cfg(256 * n_dev, n_dev)
+    cfg = _dist_cfg(256 * n_dev)
     mesh = make_ring_mesh(n_dev)
     state = init_simulation(cfg)
     ref = make_step(cfg.replace(bh_distributed=False))(state)
@@ -250,12 +250,13 @@ def test_distributed_bh_any_rank_count(eight_devices, n_dev):
 
 
 def test_distributed_bh_multi_step_migration(eight_devices):
-    """Several fused steps: the repartition runs from an already-partitioned
-    state (steady-state path: few migrants) and stays conservative."""
+    """Several fused steps: repeated repartition + reverse exchange stays
+    conservative and finite (the caller's sharding is key-uncorrelated, so
+    every step re-exchanges — see the module docstring)."""
     from parallelnbody_tpu.parallel import make_sharded_run
     from parallelnbody_tpu.parallel.sharded import sharded_init_accel
 
-    cfg = _dist_cfg(1024, 8)
+    cfg = _dist_cfg(1024)
     mesh = make_ring_mesh(8)
     state = shard_state(init_simulation(cfg), mesh)
     state = sharded_init_accel(cfg, mesh, state)
@@ -274,7 +275,7 @@ def test_distributed_bh_exchange_overflow_reported(eight_devices):
     key range) must REPORT exchange overflow, not drop silently."""
     from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
 
-    cfg = _dist_cfg(1024, 8)
+    cfg = _dist_cfg(1024)
     mesh = make_ring_mesh(8)
     state = init_simulation(cfg)
     # order particles by descending x before sharding: each rank then holds
