@@ -450,3 +450,75 @@ def test_near_kernel_shard_windows_sum_to_full():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pot), np.asarray(full[1]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_far_kernel_binned_matches_unbinned():
+    """Count-sorted two-bin far evaluation: same result as the single call
+    when bin_budget covers every row, and a correct overflow count when it
+    clips (ops/pallas_bh.py far_field_pallas bin_rows/bin_budget)."""
+    from parallelnbody_tpu.ops.bh import (_prepare, traverse,
+                                          leaf_interactions)
+    from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
+
+    pos, _, mass = _plummer(2048, seed=29)
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
+                                                curve="hilbert",
+                                                multipole_order=2)
+    n_leaves = n_pad // 32
+    _, rej = traverse(tree, 0.5)
+    _, _, f_idx, f_valid, _ = leaf_interactions(
+        tree, rej, 0.5, start_leaf=0, n_slice=n_leaves, near_budget=64,
+        far0_budget=256)
+    nodes = jnp.concatenate(
+        [tree.com[0], tree.mass[0][:, None], tree.quad[0]], axis=1)
+    tgt = pos_s.reshape(n_leaves, 32, 3)
+    full, fpot, of0 = far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0, 0.02,
+                                       False, interpret=True)
+    assert int(of0) == 0
+    counts = np.asarray(jnp.sum(f_valid, axis=1))
+    # generous bin budget: must be identical (row order restored) and of=0
+    b_acc, b_pot, of1 = far_field_pallas(
+        tgt, nodes, f_idx, f_valid, 1.0, 0.02, False, interpret=True,
+        bin_rows=8, bin_budget=int(counts.max()))
+    assert int(of1) == 0
+    np.testing.assert_allclose(np.asarray(b_acc), np.asarray(full),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(b_pot), np.asarray(fpot),
+                               rtol=1e-6, atol=1e-9)
+    # tight bin budget: clipped entries counted exactly
+    bb = max(1, int(np.percentile(counts, 50)))
+    _, _, of2 = far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0, 0.02,
+                                 False, interpret=True, bin_rows=8,
+                                 bin_budget=bb)
+    expect = np.maximum(np.sort(counts)[::-1][8:] - bb, 0).sum()
+    assert int(of2) == int(expect), (int(of2), int(expect))
+
+
+def test_far_eval_row_chunking_matches(monkeypatch):
+    """The target-row chunking that bounds the gathered buffer (N=4M fix)
+    must not change results: force tiny chunks and compare."""
+    import parallelnbody_tpu.ops.pallas_bh as pb
+    from parallelnbody_tpu.ops.bh import (_prepare, traverse,
+                                          leaf_interactions)
+
+    pos, _, mass = _plummer(1024, seed=31)
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
+                                                curve="hilbert",
+                                                multipole_order=2)
+    n_leaves = n_pad // 32
+    _, rej = traverse(tree, 0.5)
+    _, _, f_idx, f_valid, _ = leaf_interactions(
+        tree, rej, 0.5, start_leaf=0, n_slice=n_leaves, near_budget=64,
+        far0_budget=256)
+    nodes = jnp.concatenate(
+        [tree.com[0], tree.mass[0][:, None], tree.quad[0]], axis=1)
+    tgt = pos_s.reshape(n_leaves, 32, 3)
+    one, _, _ = pb.far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0, 0.02,
+                                    False, interpret=True)
+    monkeypatch.setattr(pb, "_FAR_GATHER_BYTES", 8 * 256 * 512)  # ~8 rows
+    pb.far_field_pallas._clear_cache()
+    chunked, _, _ = pb.far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0,
+                                        0.02, False, interpret=True)
+    pb.far_field_pallas._clear_cache()
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(one),
+                               rtol=1e-6, atol=1e-9)
