@@ -153,12 +153,31 @@ def cmd_run(args) -> int:
     if sharded:
         state = shard_state(state, mesh)
         state = sharded_init_accel(cfg, mesh, state)
-        step_fn = make_sharded_step(cfg, mesh)
+        if (cfg.bh_distributed
+                and cfg.resolve_force() == "barnes_hut"):
+            # Persistent key-sharded fused segments: one entry/exit exchange
+            # per segment instead of per step (parallel/distributed.py).
+            from parallelnbody_tpu.parallel.distributed import (
+                make_distributed_run)
+            dist_runs = {}
 
-        def run_k(s, k):
-            for _ in range(k):
-                s = step_fn(s)
-            return s
+            def run_k(s, k):
+                if k not in dist_runs:
+                    dist_runs[k] = make_distributed_run(cfg, mesh, k)
+                s, ovf = dist_runs[k](s)
+                ovf = int(jax.device_get(ovf))
+                if ovf and not args.quiet:
+                    print(f"WARNING: distributed BH clipped {ovf} exchange "
+                          f"slots / list entries this segment (degraded "
+                          f"results; raise budgets/slack)", file=sys.stderr)
+                return s
+        else:
+            step_fn = make_sharded_step(cfg, mesh)
+
+            def run_k(s, k):
+                for _ in range(k):
+                    s = step_fn(s)
+                return s
     else:
         runs = {}
 
@@ -241,7 +260,19 @@ def cmd_run(args) -> int:
                 if runs_invalid:
                     # dt changed: rebuild the jitted step closures.
                     runs_invalid = False
-                    if sharded:
+                    if sharded and cfg.bh_distributed and \
+                            cfg.resolve_force() == "barnes_hut":
+                        from parallelnbody_tpu.parallel.distributed import (
+                            make_distributed_run)
+                        dist_runs2 = {}
+
+                        def run_k(s, k, _cfg=cfg):
+                            if k not in dist_runs2:
+                                dist_runs2[k] = make_distributed_run(
+                                    _cfg, mesh, k)
+                            s, _ = dist_runs2[k](s)
+                            return s
+                    elif sharded:
                         step_fn = make_sharded_step(cfg, mesh)
 
                         def run_k(s, k, _step=step_fn):

@@ -11,7 +11,8 @@ networking.
 from parallelnbody_tpu.parallel.mesh import make_ring_mesh, shard_state, state_pspecs
 from parallelnbody_tpu.parallel.ring import ring_accel
 from parallelnbody_tpu.parallel.sharded import make_sharded_step, make_sharded_run
-from parallelnbody_tpu.parallel.distributed import dist_bh_accel
+from parallelnbody_tpu.parallel.distributed import (
+    dist_bh_accel, make_distributed_run)
 
 __all__ = [
     "make_ring_mesh",
@@ -21,4 +22,5 @@ __all__ = [
     "make_sharded_step",
     "make_sharded_run",
     "dist_bh_accel",
+    "make_distributed_run",
 ]

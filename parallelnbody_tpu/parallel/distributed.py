@@ -61,6 +61,7 @@ from parallelnbody_tpu.ops.bh import (
     build_tree, build_upper, traverse, build_interaction_lists,
     eval_far_lists, _near_field_jnp, use_pallas_bh, domain_cube,
 )
+from parallelnbody_tpu.parallel.mesh import RING_AXIS
 
 SAMPLES_PER_RANK = 64   # splitter sample quantiles per rank
 PAIR_SLACK = 2.0        # all_to_all per-pair capacity, x (n_local / P)
@@ -107,78 +108,82 @@ def _exchange(dest, ok_migrant, cols_f, cols_i, fills_i, n_ranks, cap_pair,
     return out_f, out_i, n_clipped
 
 
-def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
-    """Distributed Barnes-Hut accelerations for a particle-sharded state.
+def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
+                 cap_pair, own_cap, n_live, curve, axis):
+    """Key-repartition live rows so each rank owns a contiguous Hilbert
+    range, carrying `extras` (list of f32 columns, e.g. velocity/accel
+    components) through the exchange and the (key, id) merge sort.
 
-    pos (n_local, 3) / mass (n_local,) are this rank's shard (inside
-    shard_map over `axis`). Returns (acc (n_local, 3), pot (n_local,),
-    overflow ()): overflow counts clipped exchange slots + clipped list
-    entries across ALL ranks (psum) — nonzero means degraded results;
-    raise the slack constants / list budgets."""
-    n_ranks = lax.axis_size(axis)
-    rank = lax.axis_index(axis)
-    n_local = pos.shape[0]
+    valid_in masks live rows (padding rows are dropped and re-created as
+    zero-mass sentinel padding at the back). n_live is the STATIC expected
+    live count per rank (= N/P) used for splitter sample quantiles. Returns
+    (pos_own, extras_own, mass_own, id_own, valid_own, sentinel, overflow).
+    """
     dtype = pos.dtype
-    leaf_size = cfg.resolve_bh_leaf_size()
-    cap_pair, own_cap, n_leaf_loc = _plan(n_local, n_ranks, leaf_size)
-    softening = cfg.softening
-    eps2 = jnp.asarray(softening, dtype) ** 2
-    guard_zero = softening == 0.0
-    use_pallas = use_pallas_bh()
 
-    # ---- global domain cube + local keys (reference ComputeCubeSize
-    # semantics, OctreeSearch.cpp:47-56, via pmin/pmax collectives; the cube
-    # formula is shared with the single-chip prepare so both paths bin
-    # identically — ops/bh.py domain_cube)
-    lo = lax.pmin(jnp.min(pos, axis=0), axis)
-    hi = lax.pmax(jnp.max(pos, axis=0), axis)
+    # Domain cube over live rows only (collective bounds; shared formula
+    # with the single-chip prepare — ops/bh.py domain_cube).
+    big = jnp.asarray(jnp.inf, dtype)
+    lo = lax.pmin(jnp.min(jnp.where(valid_in[:, None], pos, big), 0), axis)
+    hi = lax.pmax(jnp.max(jnp.where(valid_in[:, None], pos, -big), 0), axis)
     center, half, sentinel = domain_cube(lo, hi)
-    # Padding slots sit at the sentinel; offset it per rank so the ranks'
-    # zero-mass pad leaves do not co-locate into one point cluster (a shared
-    # sentinel made every pad leaf a near candidate of every other rank's
-    # phantom target rows — able to trip the near budget's overflow signal
-    # for particles that do not exist at large P).
-    sentinel = sentinel + (rank.astype(pos.dtype) * half)[None] * jnp.array(
-        [1.0, 0.0, 0.0], pos.dtype)
-    encode = hilbert_encode if cfg.bh_curve == "hilbert" else morton_encode
-    keys = encode(pos, center, half)
+    # Per-rank sentinel offset: co-located pad clusters across ranks would
+    # become near candidates of phantom target rows (see module docstring).
+    sentinel = sentinel + (rank.astype(dtype) * half)[None] * jnp.array(
+        [1.0, 0.0, 0.0], dtype)
+    encode = hilbert_encode if curve == "hilbert" else morton_encode
+    keys = jnp.where(valid_in, encode(pos, center, half), _IMAX)
 
-    # ---- sample-sort splitters (replicated: same gathered sample everywhere)
-    s = min(SAMPLES_PER_RANK, n_local)
+    # Sample-sort splitters (replicated: same gathered sample everywhere).
+    # Sample quantiles over the first n_live sorted keys — per-rank live
+    # counts hover around N/P by construction, so static positions land on
+    # live keys; any imbalance is caught by the overflow counters.
+    s = min(SAMPLES_PER_RANK, n_live)
     k_sorted = jnp.sort(keys)
-    samp = k_sorted[(jnp.arange(s) * n_local) // s + n_local // (2 * s)]
+    samp = k_sorted[(jnp.arange(s) * n_live) // s + n_live // (2 * s)]
     all_samp = jnp.sort(lax.all_gather(samp, axis, axis=0, tiled=True))
     if n_ranks > 1:
         spl = all_samp[(jnp.arange(1, n_ranks) * n_ranks * s) // n_ranks]
         dest = jnp.sum(keys[:, None] >= spl[None, :], axis=1).astype(jnp.int32)
     else:
-        dest = jnp.zeros((n_local,), jnp.int32)
+        dest = jnp.zeros(keys.shape, jnp.int32)
+    dest = jnp.where(valid_in, dest, n_ranks)      # pads never move nor stay
+    stay = valid_in & (dest == rank)
 
-    ids = rank * n_local + jnp.arange(n_local, dtype=jnp.int32)
-    stay = dest == rank
+    cols_f = [pos[:, 0], pos[:, 1], pos[:, 2]] + list(extras) + [mass]
+    recv_f, (fkey, fid), of_pair = _exchange(
+        dest, valid_in & ~stay, cols_f, [keys, ids], [_IMAX, -1],
+        n_ranks, cap_pair, axis)
 
-    # ---- forward exchange: only migrants move
-    (fx, fy, fz, fm), (fkey, fid), of_pair = _exchange(
-        dest, ~stay, [pos[:, 0], pos[:, 1], pos[:, 2], mass],
-        [keys, ids], [_IMAX, -1], n_ranks, cap_pair, axis)
-
-    # ---- merge stayers + arrivals; (key, id) two-key sort == the
-    # single-chip stable argsort's tie-breaking (id = global order)
+    # Merge stayers + arrivals; (key, id) two-key sort == the single-chip
+    # stable argsort's tie-breaking (id = global original order).
     m_key = jnp.concatenate([jnp.where(stay, keys, _IMAX), fkey])
     m_id = jnp.concatenate([ids, fid])
-    m_x = jnp.concatenate([pos[:, 0], fx])
-    m_y = jnp.concatenate([pos[:, 1], fy])
-    m_z = jnp.concatenate([pos[:, 2], fz])
-    m_m = jnp.concatenate([jnp.where(stay, mass, 0.0), fm])
-    sk, sid, sx, sy, sz, sm = lax.sort(
-        (m_key, m_id, m_x, m_y, m_z, m_m), num_keys=2)
-    valid_own = sk[:own_cap] != _IMAX
-    of_own = jnp.sum(sk[own_cap:] != _IMAX)
+    m_cols = [jnp.concatenate([jnp.where(stay, c, 0.0), r])
+              for c, r in zip(cols_f, recv_f)]
+    sorted_all = lax.sort(tuple([m_key, m_id] + m_cols), num_keys=2)
+    sk, sid = sorted_all[0][:own_cap], sorted_all[1][:own_cap]
+    valid_own = sk != _IMAX
+    of_own = jnp.sum(sorted_all[0][own_cap:] != _IMAX)
+    sc = [c[:own_cap] for c in sorted_all[2:]]
     pos_own = jnp.where(valid_own[:, None],
-                        jnp.stack([sx, sy, sz], axis=1)[:own_cap],
+                        jnp.stack(sc[0:3], axis=1),
                         sentinel[None, :].astype(dtype))
-    mass_own = jnp.where(valid_own, sm[:own_cap], 0.0)
-    id_own = sid[:own_cap]
+    extras_own = [jnp.where(valid_own, c, 0.0) for c in sc[3:-1]]
+    mass_own = jnp.where(valid_own, sc[-1], 0.0)
+    return pos_own, extras_own, mass_own, sid, valid_own, sentinel, \
+        of_pair + of_own
+
+
+def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
+                  leaf_size, n_leaf_loc, axis, compute_pot=True):
+    """Tree + lists + far kernels + ring near field for an owned (key-range)
+    shard. Returns (acc, pot, overflow) in owned order."""
+    dtype = pos_own.dtype
+    softening = cfg.softening
+    eps2 = jnp.asarray(softening, dtype) ** 2
+    guard_zero = softening == 0.0
+    use_pallas = use_pallas_bh()
 
     # ---- local leaf summaries -> replicated global upper pyramid
     ltree = build_tree(pos_own, mass_own, leaf_size, sentinel,
@@ -239,23 +244,164 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
         pot = pot + ph
         if p < n_ranks - 1:
             sh_pos, sh_mass = nxt_pos, nxt_mass
+    return acc, pot, of_lists
 
-    # ---- reverse exchange: results back to each particle's origin rank
+
+def _return_to_origin(cols_f, id_own, valid_own, *, rank, n_ranks, n_local,
+                      cap_pair, axis):
+    """Reverse exchange: route each owned row\'s f32 columns back to the rank
+    and slot its global id encodes. Returns the columns as (n_local,)
+    arrays plus the clipped-slot count."""
+    dtype = cols_f[0].dtype
     dest_r = jnp.where(valid_own, id_own // n_local, n_ranks)
     stay_r = valid_own & (dest_r == rank)
     slot_r = jnp.where(stay_r, id_own % n_local, n_local)
-    acc_out = jnp.zeros((n_local, 3), dtype)
-    acc_out = acc_out.at[slot_r].set(acc, mode="drop")
-    pot_out = jnp.zeros((n_local,), dtype).at[slot_r].set(pot, mode="drop")
-
-    (rx, ry, rz, rp), (rid,), of_rev = _exchange(
-        dest_r, valid_own & ~stay_r, [acc[:, 0], acc[:, 1], acc[:, 2], pot],
-        [id_own], [-1], n_ranks, cap_pair, axis)
+    outs = [jnp.zeros((n_local,), dtype).at[slot_r].set(c, mode="drop")
+            for c in cols_f]
+    recv_f, (rid,), of_rev = _exchange(
+        dest_r, valid_own & ~stay_r, cols_f, [id_own], [-1],
+        n_ranks, cap_pair, axis)
     arr_slot = jnp.where(rid >= 0, rid % n_local, n_local)
-    acc_out = acc_out.at[arr_slot, 0].set(rx, mode="drop")
-    acc_out = acc_out.at[arr_slot, 1].set(ry, mode="drop")
-    acc_out = acc_out.at[arr_slot, 2].set(rz, mode="drop")
-    pot_out = pot_out.at[arr_slot].set(rp, mode="drop")
+    outs = [o.at[arr_slot].set(r, mode="drop")
+            for o, r in zip(outs, recv_f)]
+    return outs, of_rev
 
-    overflow = lax.psum(of_pair + of_own + of_rev + of_lists, axis)
-    return acc_out, pot_out, overflow
+
+def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
+    """Distributed Barnes-Hut accelerations for a particle-sharded state.
+
+    pos (n_local, 3) / mass (n_local,) are this rank\'s shard (inside
+    shard_map over `axis`). Returns (acc (n_local, 3), pot (n_local,),
+    overflow ()): overflow counts clipped exchange slots + clipped list
+    entries across ALL ranks (psum) — nonzero means degraded results;
+    raise the slack constants / list budgets."""
+    n_ranks = lax.axis_size(axis)
+    rank = lax.axis_index(axis)
+    n_local = pos.shape[0]
+    leaf_size = cfg.resolve_bh_leaf_size()
+    cap_pair, own_cap, n_leaf_loc = _plan(n_local, n_ranks, leaf_size)
+
+    ids = rank * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    valid = jnp.ones((n_local,), bool)
+    pos_own, _, mass_own, id_own, valid_own, sentinel, of_ex = _repartition(
+        pos, [], mass, ids, valid, rank=rank, n_ranks=n_ranks,
+        cap_pair=cap_pair, own_cap=own_cap, n_live=n_local,
+        curve=cfg.bh_curve, axis=axis)
+
+    acc, pot, of_lists = _forces_owned(
+        pos_own, mass_own, sentinel, cfg, rank=rank, n_ranks=n_ranks,
+        leaf_size=leaf_size, n_leaf_loc=n_leaf_loc, axis=axis,
+        compute_pot=compute_pot)
+
+    (ax, ay, az, po), of_rev = _return_to_origin(
+        [acc[:, 0], acc[:, 1], acc[:, 2], pot], id_own, valid_own,
+        rank=rank, n_ranks=n_ranks, n_local=n_local, cap_pair=cap_pair,
+        axis=axis)
+    overflow = lax.psum(of_ex + of_rev + of_lists, axis)
+    return jnp.stack([ax, ay, az], axis=1), po, overflow
+
+
+def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
+    """n_steps distributed-BH steps with a PERSISTENTLY key-sharded carry.
+
+    The per-step path (make_sharded_step + dist_bh_accel) must restore the
+    caller\'s key-uncorrelated sharding after every force evaluation, so
+    ~(P-1)/P of the particles re-exchange each step. Here the scan carry
+    stays key-sharded: one full entry exchange, then each step only
+    repartitions boundary-crossing migrants (carrying vel/acc through the
+    same merge sort) and the origin-order state is rebuilt ONCE at exit.
+    The leaf grouping each step comes from the pre-drift order (one dt of
+    staleness); bounding radii are computed from actual positions, so the
+    MAC stays conservative — same accuracy class, slightly different fp
+    than the per-step path.
+
+    Note on static shapes: the exchange buffers are capacity-sized, so the
+    COMPILED comm volume is the capacity, not the migrant count — sizing
+    cap_pair below PAIR_SLACK x N/P^2 for the steady state is the lever on
+    real hardware (untestable on this rig; kept at the entry capacity).
+
+    Returns run(state) -> (state, overflow); overflow accumulates every
+    step\'s clipped exchange slots + list entries (psum over ranks)."""
+    from parallelnbody_tpu.ops.integrators import get_integrator
+    from parallelnbody_tpu.parallel.mesh import state_pspecs
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    integrator = get_integrator(cfg.integrator)
+    specs = state_pspecs(axis)
+    leaf_size = cfg.resolve_bh_leaf_size()
+
+    def local_run(state):
+        n_local = state.pos.shape[0]
+        n_ranks = lax.axis_size(axis)
+        rank = lax.axis_index(axis)
+        cap_pair, own_cap, n_leaf_loc = _plan(n_local, n_ranks, leaf_size)
+        dt = jnp.asarray(cfg.dt, state.pos.dtype)
+        compute_pot = cfg.track_potential
+
+        ids0 = rank * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        valid0 = jnp.ones((n_local,), bool)
+
+        def repart(pos, vel, accv, potv, mass, pids, vmask):
+            extras = [vel[:, 0], vel[:, 1], vel[:, 2],
+                      accv[:, 0], accv[:, 1], accv[:, 2], potv]
+            pos_o, ex_o, mass_o, id_o, valid_o, sentinel, of = _repartition(
+                pos, extras, mass, pids, vmask, rank=rank, n_ranks=n_ranks,
+                cap_pair=cap_pair, own_cap=own_cap, n_live=n_local,
+                curve=cfg.bh_curve, axis=axis)
+            vel_o = jnp.stack(ex_o[0:3], axis=1)
+            acc_o = jnp.stack(ex_o[3:6], axis=1)
+            return pos_o, vel_o, acc_o, ex_o[6], mass_o, id_o, valid_o, \
+                sentinel, of
+
+        # ---- enter the key-sharded space
+        (pos, vel, accv, potv, mass, pids, vmask, sentinel, of_enter) = repart(
+            state.pos, state.vel, state.acc, state.pot, state.mass,
+            ids0, valid0)
+
+        def body(carry, _):
+            pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
+            pos, vel, accv, potv, mass, pids, vmask, sentinel, of1 = repart(
+                pos, vel, accv, potv, mass, pids, pids >= 0)
+            of_cell = [jnp.zeros((), jnp.int32)]
+
+            def accel_fn(p):
+                a, ph, of = _forces_owned(
+                    p, mass, sentinel, cfg, rank=rank, n_ranks=n_ranks,
+                    leaf_size=leaf_size, n_leaf_loc=n_leaf_loc, axis=axis,
+                    compute_pot=compute_pot)
+                of_cell[0] = of
+                return a, ph
+
+            pos, vel, accv, potv = integrator(accel_fn, pos, vel, accv,
+                                              potv, dt)
+            return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
+                    of_acc + of1 + of_cell[0]), None
+
+        carry0 = (pos, vel, accv, potv, mass, pids, state.time, state.step,
+                  of_enter)
+        carry, _ = jax.lax.scan(body, carry0, length=n_steps)
+        pos, vel, accv, potv, mass, pids, t, st, of_total = carry
+
+        # ---- exit: origin-order state, one reverse exchange
+        cols = [pos[:, 0], pos[:, 1], pos[:, 2],
+                vel[:, 0], vel[:, 1], vel[:, 2],
+                accv[:, 0], accv[:, 1], accv[:, 2], potv]
+        outs, of_rev = _return_to_origin(
+            cols, pids, pids >= 0, rank=rank, n_ranks=n_ranks,
+            n_local=n_local, cap_pair=cap_pair, axis=axis)
+        out_state = state._replace(
+            pos=jnp.stack(outs[0:3], axis=1),
+            vel=jnp.stack(outs[3:6], axis=1),
+            acc=jnp.stack(outs[6:9], axis=1),
+            pot=outs[9], time=t, step=st,
+        )
+        return out_state, lax.psum(of_total + of_rev, axis)
+
+    fn = shard_map(local_run, mesh=mesh, in_specs=(specs,),
+                   out_specs=(specs, jax.sharding.PartitionSpec()),
+                   check_vma=False)
+    return jax.jit(fn)

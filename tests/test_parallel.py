@@ -288,3 +288,39 @@ def test_distributed_bh_exchange_overflow_reported(eight_devices):
                            mass=state.mass[order], acc=state.acc[order],
                            pot=state.pot[order])
     assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) > 0
+
+
+def test_distributed_run_persistent_sharding(eight_devices):
+    """make_distributed_run: one entry exchange, key-sharded scan carry,
+    one exit exchange. Must track the per-step distributed path closely
+    (the only difference is the scan's pre-drift leaf grouping: one dt of
+    staleness) and conserve momentum/energy at the same class."""
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(2048)
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+
+    # reference: 5 per-step distributed steps
+    ref = state
+    step = make_sharded_step(cfg, mesh)
+    for _ in range(5):
+        ref = step(ref)
+
+    out, overflow = make_distributed_run(cfg, mesh, 5)(state)
+    assert int(overflow) == 0
+    assert int(out.step) == int(ref.step) == int(state.step) + 5
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    # same trajectory to within the grouping-staleness difference
+    scale = float(jnp.sqrt(jnp.mean(jnp.sum(ref.vel ** 2, 1))))
+    dv = float(jnp.sqrt(jnp.mean(jnp.sum((out.vel - ref.vel) ** 2, 1))))
+    assert dv < 2e-3 * scale, (dv, scale)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=0, atol=1e-5)
+    # every particle accounted for: mass field untouched, momentum conserved
+    p0 = jnp.sum(state.mass[:, None] * state.vel, axis=0)
+    p1 = jnp.sum(out.mass[:, None] * out.vel, axis=0)
+    mv = float(jnp.sqrt(jnp.sum(state.mass[:, None] * state.vel ** 2)))
+    assert float(jnp.linalg.norm(p1 - p0)) < 5e-3 * mv
