@@ -12,14 +12,13 @@ design:
      all-gathered sample defines P-1 splitters (identical on every rank).
      Particles whose key range belongs to another rank migrate via ONE
      `lax.all_to_all` with a static per-pair capacity; stayers never move.
-     (The caller's state sharding is key-uncorrelated and restored by the
-     reverse exchange below, so under make_sharded_step ~(P-1)/P of the
-     particles migrate on EVERY step — the win of this design today is
-     O(N/P) per-chip memory and the removal of the replicated O(N log N)
-     sort, not total traffic, which stays the same order as the replicated
-     path's all_gathers. A persistently key-sharded state, which would make
-     the steady-state exchange near-empty, needs the state to carry its
-     particle ids through the public API — a future round.)
+     (Under make_sharded_step the caller's key-uncorrelated sharding is
+     restored after every step, so ~(P-1)/P of the particles re-exchange
+     each step and the win is O(N/P) per-chip memory plus the removal of
+     the replicated O(N log N) sort. `make_distributed_run` keeps the scan
+     carry PERSISTENTLY key-sharded — one entry exchange, migrant-only
+     per-step repartition, one exit exchange — making the steady-state
+     exchange near-empty on real hardware.)
   2. **Local trees, replicated top.** Each rank sorts its owned range
      ((key, id) two-key sort — ties break by global id exactly like the
      single-chip stable argsort) and builds leaf summaries; one all_gather
