@@ -324,3 +324,20 @@ def test_distributed_run_persistent_sharding(eight_devices):
     p1 = jnp.sum(out.mass[:, None] * out.vel, axis=0)
     mv = float(jnp.sqrt(jnp.sum(state.mass[:, None] * state.vel ** 2)))
     assert float(jnp.linalg.norm(p1 - p0)) < 5e-3 * mv
+
+
+def test_distributed_run_no_pot_rk4(eight_devices):
+    """make_distributed_run with track_potential=False and a multi-eval
+    integrator (rk4 calls accel_fn four times per step)."""
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(1024).replace(track_potential=False, integrator="rk4")
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    out, overflow = make_distributed_run(cfg, mesh, 3)(state)
+    assert int(overflow) == 0
+    assert int(out.step) == int(state.step) + 3
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    assert bool(jnp.all(jnp.isfinite(out.vel)))
