@@ -89,6 +89,50 @@ def _build_config(args) -> SimConfig:
 
 
 # ------------------------------------------------------------------------ run
+
+
+def _make_sharded_run_k(cfg, mesh, args):
+    """Segment runner for a sharded state: persistent key-sharded fused
+    scans when --bh-distributed (one entry/exit exchange per segment), else
+    a per-step loop. On distributed-run overflow the segment's output is
+    CORRUPTED (clipped particles vanish from the carry and return zeroed —
+    parallel/distributed.py make_distributed_run), so the segment is
+    discarded and recomputed with the per-step path, which bounds a clip
+    to one step of degraded force."""
+    from parallelnbody_tpu.parallel import make_sharded_step
+
+    step_fn = make_sharded_step(cfg, mesh)
+
+    def step_k(s, k):
+        for _ in range(k):
+            s = step_fn(s)
+        return s
+
+    if not (cfg.bh_distributed and cfg.resolve_force() == "barnes_hut"):
+        return step_k
+
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    dist_runs = {}
+
+    def run_k(s, k):
+        if k not in dist_runs:
+            dist_runs[k] = make_distributed_run(cfg, mesh, k)
+        out, ovf = dist_runs[k](s)
+        ovf = int(jax.device_get(ovf))
+        if ovf:
+            if not args.quiet:
+                print(f"WARNING: distributed BH clipped {ovf} exchange "
+                      f"slots / list entries; discarding the corrupted "
+                      f"segment and recomputing it per-step (raise "
+                      f"--bh-near-budget/--bh-far-budget or the slack "
+                      f"constants in parallel/distributed.py)",
+                      file=sys.stderr)
+            return step_k(s, k)
+        return out
+
+    return run_k
+
+
 def cmd_run(args) -> int:
     from parallelnbody_tpu.api import init_simulation, make_run, make_step, make_accel_fn
     from parallelnbody_tpu.ops import energy as energy_ops
@@ -153,31 +197,7 @@ def cmd_run(args) -> int:
     if sharded:
         state = shard_state(state, mesh)
         state = sharded_init_accel(cfg, mesh, state)
-        if (cfg.bh_distributed
-                and cfg.resolve_force() == "barnes_hut"):
-            # Persistent key-sharded fused segments: one entry/exit exchange
-            # per segment instead of per step (parallel/distributed.py).
-            from parallelnbody_tpu.parallel.distributed import (
-                make_distributed_run)
-            dist_runs = {}
-
-            def run_k(s, k):
-                if k not in dist_runs:
-                    dist_runs[k] = make_distributed_run(cfg, mesh, k)
-                s, ovf = dist_runs[k](s)
-                ovf = int(jax.device_get(ovf))
-                if ovf and not args.quiet:
-                    print(f"WARNING: distributed BH clipped {ovf} exchange "
-                          f"slots / list entries this segment (degraded "
-                          f"results; raise budgets/slack)", file=sys.stderr)
-                return s
-        else:
-            step_fn = make_sharded_step(cfg, mesh)
-
-            def run_k(s, k):
-                for _ in range(k):
-                    s = step_fn(s)
-                return s
+        run_k = _make_sharded_run_k(cfg, mesh, args)
     else:
         runs = {}
 
@@ -260,25 +280,8 @@ def cmd_run(args) -> int:
                 if runs_invalid:
                     # dt changed: rebuild the jitted step closures.
                     runs_invalid = False
-                    if sharded and cfg.bh_distributed and \
-                            cfg.resolve_force() == "barnes_hut":
-                        from parallelnbody_tpu.parallel.distributed import (
-                            make_distributed_run)
-                        dist_runs2 = {}
-
-                        def run_k(s, k, _cfg=cfg):
-                            if k not in dist_runs2:
-                                dist_runs2[k] = make_distributed_run(
-                                    _cfg, mesh, k)
-                            s, _ = dist_runs2[k](s)
-                            return s
-                    elif sharded:
-                        step_fn = make_sharded_step(cfg, mesh)
-
-                        def run_k(s, k, _step=step_fn):
-                            for _ in range(k):
-                                s = _step(s)
-                            return s
+                    if sharded:
+                        run_k = _make_sharded_run_k(cfg, mesh, args)
                     else:
                         runs = {}
 

@@ -170,6 +170,12 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
                         sentinel[None, :].astype(dtype))
     extras_own = [jnp.where(valid_own, c, 0.0) for c in sc[3:-1]]
     mass_own = jnp.where(valid_own, sc[-1], 0.0)
+    # Enforce id == -1 on invalid rows: when the merged buffer is shorter
+    # than own_cap, the trailing rows inherit whatever ids the sort left
+    # there — without the mask those became live zero-mass phantoms of REAL
+    # particles under the persistent run's `pids >= 0` liveness convention
+    # and overwrote their origin slots at exit.
+    sid = jnp.where(valid_own, sid, -1)
     return pos_own, extras_own, mass_own, sid, valid_own, sentinel, \
         of_pair + of_own
 
@@ -320,7 +326,13 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
     real hardware (untestable on this rig; kept at the entry capacity).
 
     Returns run(state) -> (state, overflow); overflow accumulates every
-    step\'s clipped exchange slots + list entries (psum over ranks)."""
+    step\'s clipped exchange slots + list entries (psum over ranks).
+    NONZERO OVERFLOW HERE IS SEVERE: a particle clipped by an exchange
+    capacity mid-scan vanishes from the carry for the remainder of the
+    segment and comes back zeroed — unlike the per-step path, where a clip
+    costs one step of force. Treat the segment's output as corrupted:
+    discard it and re-run the segment at higher slack/budgets (the CLI
+    falls back to the per-step path for the affected segment)."""
     from parallelnbody_tpu.ops.integrators import get_integrator
     from parallelnbody_tpu.parallel.mesh import state_pspecs
 
@@ -356,15 +368,10 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
             return pos_o, vel_o, acc_o, ex_o[6], mass_o, id_o, valid_o, \
                 sentinel, of
 
-        # ---- enter the key-sharded space
-        (pos, vel, accv, potv, mass, pids, vmask, sentinel, of_enter) = repart(
-            state.pos, state.vel, state.acc, state.pot, state.mass,
-            ids0, valid0)
-
-        def body(carry, _):
-            pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
-            pos, vel, accv, potv, mass, pids, vmask, sentinel, of1 = repart(
-                pos, vel, accv, potv, mass, pids, pids >= 0)
+        def force_step(pos, vel, accv, potv, mass, sentinel):
+            # Overflow ACCUMULATES across accel_fn calls: multi-eval
+            # integrators (rk4, yoshida4, dkd) must not drop clipping from
+            # intermediate force evaluations.
             of_cell = [jnp.zeros((), jnp.int32)]
 
             def accel_fn(p):
@@ -372,18 +379,38 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
                     p, mass, sentinel, cfg, rank=rank, n_ranks=n_ranks,
                     leaf_size=leaf_size, n_leaf_loc=n_leaf_loc, axis=axis,
                     compute_pot=compute_pot)
-                of_cell[0] = of
+                of_cell[0] = of_cell[0] + of
                 return a, ph
 
             pos, vel, accv, potv = integrator(accel_fn, pos, vel, accv,
                                               potv, dt)
-            return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
-                    of_acc + of1 + of_cell[0]), None
+            return pos, vel, accv, potv, of_cell[0]
 
-        carry0 = (pos, vel, accv, potv, mass, pids, state.time, state.step,
-                  of_enter)
-        carry, _ = jax.lax.scan(body, carry0, length=n_steps)
-        pos, vel, accv, potv, mass, pids, t, st, of_total = carry
+        # ---- enter the key-sharded space; the entry sort IS step 1's sort
+        # (the in-scan repartition starts at step 2 — a first-iteration
+        # repart would redo an exchange on a zero-migrant state).
+        (pos, vel, accv, potv, mass, pids, _, sentinel, of_enter) = repart(
+            state.pos, state.vel, state.acc, state.pot, state.mass,
+            ids0, valid0)
+        pos, vel, accv, potv, of_s1 = force_step(pos, vel, accv, potv, mass,
+                                                 sentinel)
+        t = state.time + dt
+        st = state.step + 1
+        of_total = of_enter + of_s1
+
+        def body(carry, _):
+            pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
+            pos, vel, accv, potv, mass, pids, _, sentinel, of1 = repart(
+                pos, vel, accv, potv, mass, pids, pids >= 0)
+            pos, vel, accv, potv, of2 = force_step(pos, vel, accv, potv,
+                                                   mass, sentinel)
+            return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
+                    of_acc + of1 + of2), None
+
+        if n_steps > 1:
+            carry0 = (pos, vel, accv, potv, mass, pids, t, st, of_total)
+            carry, _ = jax.lax.scan(body, carry0, length=n_steps - 1)
+            pos, vel, accv, potv, mass, pids, t, st, of_total = carry
 
         # ---- exit: origin-order state, one reverse exchange
         cols = [pos[:, 0], pos[:, 1], pos[:, 2],

@@ -341,3 +341,26 @@ def test_distributed_run_no_pot_rk4(eight_devices):
     assert int(out.step) == int(state.step) + 3
     assert bool(jnp.all(jnp.isfinite(out.pos)))
     assert bool(jnp.all(jnp.isfinite(out.vel)))
+
+
+def test_distributed_run_small_shards_large_leaves(eight_devices):
+    """Regression: with n_local << leaf_size the merged buffer is shorter
+    than own_cap and invalid rows once inherited REAL particle ids from the
+    sort — live zero-mass phantoms that overwrote their originals' state at
+    exit (352/1024 particles relocated to the sentinel). _repartition must
+    return id=-1 on invalid rows."""
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(1024).replace(bh_leaf_size=512, bh_near_budget=16)
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    out, overflow = make_distributed_run(cfg, mesh, 3)(state)
+    assert int(overflow) == 0
+    # no particle may teleport: positions stay within the physical domain
+    r0 = float(jnp.max(jnp.linalg.norm(state.pos, axis=1)))
+    r1 = float(jnp.max(jnp.linalg.norm(out.pos, axis=1)))
+    assert r1 < 2.0 * r0 + 1.0, (r0, r1)
+    # masses in the output state are untouched and velocities finite
+    assert bool(jnp.all(jnp.isfinite(out.vel)))
