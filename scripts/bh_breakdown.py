@@ -70,6 +70,14 @@ def main():
     use_pallas = bh.use_pallas_bh()
     print(f"backend={jax.default_backend()} pallas={use_pallas}", flush=True)
 
+    # ---- dispatch/sync floor: every phase number below includes this
+    # per-call overhead through the remote tunnel (~4-5 ms measured round 3;
+    # traverse alone is 4.1 ms real vs 17 ms as printed with the floor).
+    floor_fn = jax.jit(lambda p: p.sum())
+    t_floor, _ = timeit(floor_fn, pos)
+    print(f"sync floor: {t_floor*1e3:.1f} ms (included in every phase time)",
+          flush=True)
+
     # ---- phase 1: prepare (pad + curve sort + pyramid)
     prep = jax.jit(lambda p, m: bh._prepare(
         p, m, leaf_size=args.leaf, curve=args.curve,
