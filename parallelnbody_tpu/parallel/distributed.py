@@ -63,22 +63,30 @@ from parallelnbody_tpu.ops.bh import (
 from parallelnbody_tpu.parallel.mesh import RING_AXIS
 
 SAMPLES_PER_RANK = 64   # splitter sample quantiles per rank
-PAIR_SLACK = 2.0        # all_to_all per-pair capacity, x (n_local / P)
-OWN_SLACK = 0.25        # owned-range capacity headroom over n_local
 _IMAX = jnp.iinfo(jnp.int32).max
 
 
-def _plan(n_local: int, n_ranks: int, leaf_size: int):
+def _plan(n_local: int, n_ranks: int, leaf_size: int,
+          pair_slack: float = 2.0, own_slack: float = 0.25):
     """Static capacities: (cap_pair, own_cap, n_leaf_loc). cap_pair is
     raised if needed so the merged buffer (n_local stay slots + P*cap_pair
     arrival slots) can always fill own_cap — otherwise small shards with
     large leaf sizes would slice a shorter array than the leaf plan assumes
-    and fail at trace time."""
-    cap_pair = max(8, int(PAIR_SLACK * n_local / max(n_ranks, 1) + 7) // 8 * 8)
-    own_cap = -(-int(n_local * (1 + OWN_SLACK)) // leaf_size) * leaf_size
+    and fail at trace time.
+
+    pair_slack / own_slack come from SimConfig (bh_pair_slack /
+    bh_own_slack): exchange overflow is fixed by raising the config field,
+    not by editing source (VERDICT r2 #6)."""
+    cap_pair = max(8, int(pair_slack * n_local / max(n_ranks, 1) + 7) // 8 * 8)
+    own_cap = -(-int(n_local * (1 + own_slack)) // leaf_size) * leaf_size
     need = -(-(own_cap - n_local) // max(n_ranks, 1))
     cap_pair = max(cap_pair, (need + 7) // 8 * 8)
     return cap_pair, own_cap, own_cap // leaf_size
+
+
+def _plan_cfg(cfg, n_local: int, n_ranks: int, leaf_size: int):
+    return _plan(n_local, n_ranks, leaf_size,
+                 pair_slack=cfg.bh_pair_slack, own_slack=cfg.bh_own_slack)
 
 
 def _exchange(dest, ok_migrant, cols_f, cols_i, fills_i, n_ranks, cap_pair,
@@ -134,12 +142,17 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
     keys = jnp.where(valid_in, encode(pos, center, half), _IMAX)
 
     # Sample-sort splitters (replicated: same gathered sample everywhere).
-    # Sample quantiles over the first n_live sorted keys — per-rank live
-    # counts hover around N/P by construction, so static positions land on
-    # live keys; any imbalance is caught by the overflow counters.
+    # Sample quantiles over the rank's ACTUAL live count (a traced scalar):
+    # with the static n_live, a rank whose live count dropped below N/P in
+    # the persistent run sampled _IMAX sentinel keys, skewing splitters
+    # toward over-routing to the last rank and compounding imbalance over a
+    # scan segment (ADVICE r2 #3). An all-dead rank still contributes _IMAX
+    # samples — there is nothing live to sample.
     s = min(SAMPLES_PER_RANK, n_live)
     k_sorted = jnp.sort(keys)
-    samp = k_sorted[(jnp.arange(s) * n_live) // s + n_live // (2 * s)]
+    cnt = jnp.sum(valid_in).astype(jnp.int32)
+    qpos = (jnp.arange(s, dtype=jnp.int32) * cnt) // s + cnt // (2 * s)
+    samp = k_sorted[jnp.clip(qpos, 0, jnp.maximum(cnt - 1, 0))]
     all_samp = jnp.sort(lax.all_gather(samp, axis, axis=0, tiled=True))
     if n_ranks > 1:
         spl = all_samp[(jnp.arange(1, n_ranks) * n_ranks * s) // n_ranks]
@@ -279,12 +292,13 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
     shard_map over `axis`). Returns (acc (n_local, 3), pot (n_local,),
     overflow ()): overflow counts clipped exchange slots + clipped list
     entries across ALL ranks (psum) — nonzero means degraded results;
-    raise the slack constants / list budgets."""
+    raise cfg.bh_pair_slack / cfg.bh_own_slack (exchange) or the list
+    budgets."""
     n_ranks = lax.axis_size(axis)
     rank = lax.axis_index(axis)
     n_local = pos.shape[0]
     leaf_size = cfg.resolve_bh_leaf_size()
-    cap_pair, own_cap, n_leaf_loc = _plan(n_local, n_ranks, leaf_size)
+    cap_pair, own_cap, n_leaf_loc = _plan_cfg(cfg, n_local, n_ranks, leaf_size)
 
     ids = rank * n_local + jnp.arange(n_local, dtype=jnp.int32)
     valid = jnp.ones((n_local,), bool)
@@ -349,7 +363,8 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
         n_local = state.pos.shape[0]
         n_ranks = lax.axis_size(axis)
         rank = lax.axis_index(axis)
-        cap_pair, own_cap, n_leaf_loc = _plan(n_local, n_ranks, leaf_size)
+        cap_pair, own_cap, n_leaf_loc = _plan_cfg(cfg, n_local, n_ranks,
+                                                  leaf_size)
         dt = jnp.asarray(cfg.dt, state.pos.dtype)
         compute_pot = cfg.track_potential
 

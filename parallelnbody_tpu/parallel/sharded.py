@@ -69,6 +69,8 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
         far0_budget=cfg.bh_far_budget,
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
         multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
+        refine=cfg.resolve_bh_refine(),
+        cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
     )
     acc_g = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
     pot_g = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)
@@ -85,21 +87,33 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
     return acc_g[rows], pot_g[rows]
 
 
-def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Callable:
-    """Jitted step(state)->state for a particle-sharded state on `mesh`."""
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS,
+                      report_overflow: bool = False) -> Callable:
+    """Jitted step(state)->state for a particle-sharded state on `mesh`.
+
+    report_overflow=True: step(state) -> (state, overflow) with the psum'd
+    Barnes-Hut budget/exchange clip counter summed over the step's force
+    evaluations (always zero for the ring all-pairs path, which has no
+    budgets) — so mid-run clipping on the sharded paths is surfaced, not
+    just the t=0 audit (VERDICT r2 #4, ADVICE r2 #2)."""
     integrator = get_integrator(cfg.integrator)
     specs = state_pspecs(axis)
 
-    def local_step(state: SimState) -> SimState:
+    def local_step(state: SimState):
+        of_cell = [jnp.zeros((), jnp.int32)]
         if cfg.resolve_force() == "barnes_hut" and cfg.bh_distributed:
             from parallelnbody_tpu.parallel.distributed import dist_bh_accel
 
             def accel_fn(pos):
-                acc, pot, _ = dist_bh_accel(pos, state.mass, cfg, axis)
+                acc, pot, of = dist_bh_accel(pos, state.mass, cfg, axis)
+                of_cell[0] = of_cell[0] + of  # dist_bh_accel already psums
                 return acc, pot
         elif cfg.resolve_force() == "barnes_hut":
             def accel_fn(pos):
-                return _bh_sharded_accel(pos, state.mass, cfg, axis)
+                acc, pot, of = _bh_sharded_accel(pos, state.mass, cfg, axis,
+                                                 with_overflow=True)
+                of_cell[0] = of_cell[0] + of
+                return acc, pot
         else:
             tile_fn = _make_tile_fn(cfg, state.n)
 
@@ -113,13 +127,15 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS) -> Call
         pos, vel, acc, pot = integrator(
             accel_fn, state.pos, state.vel, state.acc, state.pot, dt
         )
-        return state._replace(
+        out = state._replace(
             pos=pos, vel=vel, acc=acc, pot=pot,
             time=state.time + dt, step=state.step + 1,
         )
+        return (out, of_cell[0]) if report_overflow else out
 
+    out_specs = (specs, P()) if report_overflow else specs
     sharded = shard_map(
-        local_step, mesh=mesh, in_specs=(specs,), out_specs=specs,
+        local_step, mesh=mesh, in_specs=(specs,), out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)

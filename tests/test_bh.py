@@ -522,3 +522,157 @@ def test_far_eval_row_chunking_matches(monkeypatch):
     pb.far_field_pallas._clear_cache()
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(one),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_midrun_overflow_reported():
+    """A state engineered to start clipping only after a few steps must
+    surface the overflow through make_step/make_run report_overflow
+    (VERDICT r2 #3): 32 tight clusters — one per leaf — converge on the
+    origin, so t=0 has zero overflow (near list = self leaf only) but the
+    merged blob blows a near budget of 2. This is the contract at
+    ops/bh.py ("overflow is reported, never silently dropped") end-to-end:
+    the t=0 CLI audit alone cannot catch a collapsing system."""
+    from parallelnbody_tpu.api import make_accel_fn, make_run, make_step
+    from parallelnbody_tpu.state import make_state
+
+    n_cl, per = 32, 8
+    cfg = SimConfig(n=n_cl * per, force="barnes_hut", bh_leaf_size=per,
+                    bh_near_budget=2, bh_far_budget=64, theta=0.5,
+                    softening=1e-2, dt=0.25, integrator="leapfrog",
+                    bh_multipole=1, dtype="float64")
+    # Cluster centers on a well-separated lattice; members jittered +-0.1.
+    ii = jnp.arange(n_cl)
+    centers = 100.0 * jnp.stack(
+        [ii % 4, (ii // 4) % 4, ii // 16], axis=1).astype(jnp.float64)
+    centers = centers - jnp.mean(centers, axis=0)
+    jit = 0.1 * jax.random.uniform(jax.random.key(7), (n_cl, per, 3),
+                                   dtype=jnp.float64, minval=-1.0, maxval=1.0)
+    pos = (centers[:, None, :] + jit).reshape(-1, 3)
+    vel = -pos  # all clusters meet at the origin at t = 1 (step 4)
+    # Tiny masses: dynamics are pure ballistics (intra-cluster kicks would
+    # otherwise scatter the clusters); the MAC and budgets are geometric,
+    # so overflow behavior is identical.
+    mass = jnp.full(cfg.n, 1e-6, jnp.float64)
+    state = make_state(pos, vel, mass, key=jax.random.key(0),
+                       dtype=jnp.float64)
+    acc, pot = make_accel_fn(cfg, state.mass)(state.pos)
+    state = state._replace(acc=acc, pot=pot)
+
+    _, of0 = make_step(cfg, report_overflow=True)(state)
+    assert int(of0) == 0, int(of0)
+
+    out, of = make_run(cfg, 6, report_overflow=True)(state)
+    assert int(of) > 0
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    # report_overflow=False keeps the legacy single-state return
+    out2 = make_run(cfg, 2)(state)
+    assert out2.pos.shape == state.pos.shape
+
+
+# ------------------------------------------------- staged (hierarchical) lists
+def test_staged_lists_cover_every_pair_exactly_once():
+    """The staged refinement (traverse stop_level=2 + two gather stages) must
+    satisfy the same exact-coverage invariant as the dense plane: every
+    (target leaf, source leaf) pair covered by exactly one accepted node
+    (weighted by its leaf count), one far leaf, or one near pair."""
+    from parallelnbody_tpu.ops.bh import build_interaction_lists_staged
+
+    pos, _, mass = _plummer(16384, seed=1, dtype="float64")
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32,
+                      jnp.asarray([10.0, 10.0, 10.0]))
+    n_leaves = tree.com[0].shape[0]
+    widths = [c.shape[0] for c in tree.com]
+    assert len(widths) == 4  # a real 2-stage refine (l2 is not the root)
+    far, rej2 = traverse(tree, 0.5, stop_level=2)
+    ni, nv, fi, fv, nodes_all, of = build_interaction_lists_staged(
+        tree, far, rej2, theta=0.5, start_leaf=0, n_slice=n_leaves,
+        near_budget=n_leaves, far_budget=2 * n_leaves,
+        cand2_budget=widths[2], cand1_budget=widths[1], dtype=jnp.float64)
+    assert int(of) == 0
+    # leaves-per-node weight for every global id in nodes_all
+    w = np.zeros(sum(widths), np.int64)
+    off = 0
+    for k, wk in enumerate(widths):
+        w[off:off + wk] = n_leaves // wk
+        off += wk
+    cover = (np.asarray(nv).sum(1)
+             + (w[np.asarray(fi)] * np.asarray(fv)).sum(1))
+    np.testing.assert_array_equal(cover, n_leaves)
+    # near ids ascending per row (the near kernel's [lo, hi) segment bounds
+    # depend on it) and no duplicates across near + far
+    ni_np, nv_np = np.asarray(ni), np.asarray(nv)
+    for r in range(n_leaves):
+        row = ni_np[r][nv_np[r]]
+        assert np.all(np.diff(row) > 0)
+    both = np.concatenate([
+        np.where(nv_np, ni_np, -1),
+        np.where(np.asarray(fv), np.asarray(fi) + sum(widths), -2),
+    ], axis=1)
+    for row in both:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_staged_matches_dense_forces():
+    """Staged and dense refinement make identical MAC decisions, so forces
+    must agree to summation-order fp tolerance; clipped candidate stages
+    must report overflow."""
+    pos, _, mass = _plummer(8192, seed=11, dtype="float64")
+    kwargs = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
+                  near_budget=512, far0_budget=1024, multipole=2)
+    a_d, p_d, of_d = bh_accel(pos, mass, refine="dense", **kwargs)
+    a_s, p_s, of_s = bh_accel(pos, mass, refine="staged", **kwargs)
+    assert int(of_d) == 0 and int(of_s) == 0
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_d),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d),
+                               rtol=1e-9, atol=1e-12)
+    # starved candidate budgets are counted, never silent
+    _, _, of_t = bh_accel(pos, mass, refine="staged",
+                          cand_budgets=(2, 4), **kwargs)
+    assert int(of_t) > 0
+
+
+def test_staged_row_blocking_matches():
+    """The lax.map row blocking that bounds staged gather temporaries must
+    not change the lists."""
+    from parallelnbody_tpu.ops.bh import build_interaction_lists_staged
+
+    pos, _, mass = _plummer(4096, seed=13, dtype="float64")
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32,
+                      jnp.asarray([10.0, 10.0, 10.0]))
+    n_leaves = tree.com[0].shape[0]
+    far, rej2 = traverse(tree, 0.5, stop_level=2)
+    kw = dict(theta=0.5, start_leaf=0, n_slice=n_leaves,
+              near_budget=128, far_budget=256, cand2_budget=16,
+              cand1_budget=64, dtype=jnp.float64)
+    one = build_interaction_lists_staged(tree, far, rej2, **kw)
+    blk = build_interaction_lists_staged(tree, far, rej2, row_block=16, **kw)
+    for a, b in zip(one[:4], blk[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(one[5]) == int(blk[5])
+
+
+def test_sharded_bh_staged_matches_dense(eight_devices=None):
+    """Staged refinement through the replicated-tree sharded slice path
+    (traced start_leaf) matches single-device dense BH."""
+    from parallelnbody_tpu.config import SimConfig
+    from parallelnbody_tpu.api import init_simulation, make_step
+    from parallelnbody_tpu.parallel import make_ring_mesh, shard_state, \
+        make_sharded_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = SimConfig(n=2048, ic="plummer", dt=1e-3, softening=0.02,
+                    force="barnes_hut", bh_leaf_size=8, bh_near_budget=256,
+                    bh_far_budget=512, bh_refine="staged", dtype="float64")
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    ref = make_step(cfg.replace(bh_refine="dense"))(state)
+    out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=1e-7, atol=1e-10)

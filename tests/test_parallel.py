@@ -364,3 +364,40 @@ def test_distributed_run_small_shards_large_leaves(eight_devices):
     assert r1 < 2.0 * r0 + 1.0, (r0, r1)
     # masses in the output state are untouched and velocities finite
     assert bool(jnp.all(jnp.isfinite(out.vel)))
+
+
+def test_exchange_slack_config(eight_devices):
+    """bh_pair_slack is a SimConfig field (VERDICT r2 #6): the adversarial
+    pre-partitioned state that overflows the exchange at the default slack
+    is fixed by raising the config field — no source edit."""
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    cfg = _dist_cfg(1024)
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    order = jnp.argsort(-state.pos[:, 0])
+    state = state._replace(pos=state.pos[order], vel=state.vel[order],
+                           mass=state.mass[order], acc=state.acc[order],
+                           pot=state.pot[order])
+    sstate = shard_state(state, mesh)
+    assert sharded_bh_overflow(cfg, mesh, sstate) > 0
+    assert sharded_bh_overflow(cfg.replace(bh_pair_slack=16.0), mesh,
+                               sstate) == 0
+
+
+def test_sharded_step_reports_midrun_overflow(eight_devices):
+    """make_sharded_step(report_overflow=True) returns the psum'd clip
+    counter so the CLI can warn during a run, not only at t=0
+    (VERDICT r2 #3, ADVICE r2 #2)."""
+    cfg = SimConfig(n=2048, ic="plummer", softening=0.02,
+                    force="barnes_hut", bh_leaf_size=8, bh_near_budget=2,
+                    bh_far_budget=8, dtype="float64")
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg.replace(force="direct")), mesh)
+    out, of = make_sharded_step(cfg, mesh, report_overflow=True)(state)
+    assert int(of) > 0
+    assert int(out.step) == int(state.step) + 1
+
+    roomy = cfg.replace(bh_near_budget=256, bh_far_budget=1024)
+    _, of0 = make_sharded_step(roomy, mesh, report_overflow=True)(state)
+    assert int(of0) == 0
