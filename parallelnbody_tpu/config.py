@@ -91,9 +91,13 @@ class SimConfig:
                                    # to ~8k leaves), "staged" = hierarchical
                                    # refinement via level-2/level-1
                                    # candidate lists (O(budget) per target;
-                                   # scales past 8-16k leaves), "auto" =
-                                   # staged above 8192 leaves. In staged
-                                   # mode bh_far_budget covers ALL far
+                                   # scales past 8-16k leaves), "block" =
+                                   # staged at level-1-block granularity
+                                   # (one shared far list per 8-leaf block
+                                   # + per-leaf residual shell: ~8x less
+                                   # far-gather), "auto" = measured best
+                                   # for the leaf count. In staged/block
+                                   # modes bh_far_budget covers ALL far
                                    # classes in one list.
     bh_cand_budget: int = 0        # staged: level-1 nodes refined per
                                    # target (0 = auto from the list budgets)
@@ -135,9 +139,10 @@ class SimConfig:
             )
         if self.ic not in IC_KINDS:
             raise ValueError(f"ic must be one of {IC_KINDS}, got {self.ic!r}")
-        if self.bh_refine not in ("auto", "dense", "staged"):
+        if self.bh_refine not in ("auto", "dense", "staged", "block"):
             raise ValueError(
-                f"bh_refine must be auto|dense|staged, got {self.bh_refine!r}")
+                f"bh_refine must be auto|dense|staged|block, "
+                f"got {self.bh_refine!r}")
         if self.n <= 0:
             raise ValueError("n must be positive")
         if self.dt <= 0:

@@ -195,10 +195,11 @@ def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
 
 
 def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None,
-             stop_level=1):
+             stop_level=1, target_level=0):
     """Level-synchronous masked traversal over the upper levels
-    (k >= stop_level), for the target-leaf slice
-    [start_leaf, start_leaf + n_slice) (defaults to all leaves).
+    (k >= stop_level), for the target slice
+    [start_leaf, start_leaf + n_slice) of level-`target_level` nodes
+    (defaults to all leaves).
 
     Returns (far_masks, rejects): far_masks[k] is the (n_slice, n_k) bool
     mask of nodes at level k >= stop_level accepted as monopoles (lower
@@ -207,12 +208,17 @@ def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None,
     `leaf_interactions` (stop_level=1, the dense plane) or by the staged
     gather refinement (stop_level=2, build_interaction_lists_staged).
 
+    target_level=1 classifies per level-1 BLOCK (com/radius of the level-1
+    pyramid): the group MAC then guarantees validity for every particle of
+    every member leaf — the two-granularity far field
+    (build_interaction_lists_block).
+
     The slice parameters matter for multi-chip: each rank traverses only its
     own target window, so this phase scales with 1/P instead of being
     replicated (start_leaf may be traced)."""
-    leaf_com, leaf_r = tree.com[0], tree.radius[0]
+    leaf_com, leaf_r = tree.com[target_level], tree.radius[target_level]
     n_levels = tree.n_levels
-    assert 1 <= stop_level < n_levels, (stop_level, n_levels)
+    assert target_level < stop_level < n_levels, (stop_level, n_levels)
     if n_slice is None:
         n_slice = leaf_com.shape[0]
     tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
@@ -486,6 +492,164 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
     return near_idx, near_valid, far_idx, far_valid, nodes_all, overflow
 
 
+def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
+                                  theta, start_leaf, n_slice, near_budget,
+                                  far_budget, cand2_budget, cand1_budget,
+                                  bnear_budget, resid_budget, dtype,
+                                  row_block=0):
+    """Two-granularity far field: the staged refinement with the MAC
+    evaluated against LEVEL-1 BLOCK targets (com/radius of the b1-leaf
+    group), so accepted far entries are valid for every member leaf and the
+    far list is shared by the whole block — the budget-wide far gather
+    shrinks by ~b1 x (it was the dominant cost at N>=8M: 1467 of 3005 ms).
+
+    Inputs come from traverse(stop_level=2, target_level=1) for the BLOCK
+    window [start_leaf/b1, ...): far_masks rows and rejects_l2 rows are
+    blocks. Stages A-C run as in build_interaction_lists_staged but against
+    block targets; leaves REJECTED by the block MAC ("block-near") go
+    through a stage D that splits them per member leaf with the leaf MAC:
+
+      * fails the leaf MAC too  -> the exact near list (the same set the
+        per-leaf pipeline produces: failing the leaf MAC implies failing
+        the stricter block MAC, so every such source reaches stage D);
+      * passes the leaf MAC     -> a per-leaf RESIDUAL far list (leaf ids
+        only) — the boundary shell where granularities disagree. Entries
+        here are evaluated at leaf granularity, where the per-leaf
+        pipeline may have used the (coarser) parent: accuracy is equal or
+        better, not identical fp.
+
+    Returns (near_idx, near_valid, far_idx, far_valid, resid_idx,
+    resid_valid, nodes_all, overflow): far lists have n_slice/b1 rows (one
+    per block; evaluate with (b1*G)-lane target tiles), near/resid have
+    n_slice rows. start_leaf must be block-aligned."""
+    n_levels = tree.n_levels
+    n_leaves = tree.com[0].shape[0]
+    widths = [c.shape[0] for c in tree.com]
+    b1 = widths[0] // widths[1]
+    assert n_levels >= 3, "block refinement needs >= 3 tree levels"
+    assert n_slice % b1 == 0, (n_slice, b1)
+    n_blocks = n_slice // b1
+    big = jnp.iinfo(jnp.int32).max
+
+    offs = [0]
+    for k in range(1, n_levels):
+        offs.append(offs[-1] + widths[k - 1])
+
+    pack2, b2 = _child_pack(tree, 2)
+    pack1, _ = _child_pack(tree, 1)
+    # Leaf geometry row table for stage D: [cx, cy, cz, r, m] narrow rows.
+    leaf_geo = jnp.stack(
+        [tree.com[0][:, 0], tree.com[0][:, 1], tree.com[0][:, 2],
+         tree.radius[0], tree.mass[0]], axis=1)
+    cand2_budget = min(cand2_budget, widths[2])
+    cand1_budget = min(cand1_budget, widths[1])
+    bnear_budget = min(bnear_budget, widths[0])
+
+    start_block = start_leaf // b1
+    blk_com = jax.lax.dynamic_slice_in_dim(tree.com[1], start_block,
+                                           n_blocks, 0)
+    blk_r = jax.lax.dynamic_slice_in_dim(tree.radius[1], start_block,
+                                         n_blocks, 0)
+    blk_m = jax.lax.dynamic_slice_in_dim(tree.mass[1], start_block,
+                                         n_blocks, 0)
+    tgt_com = jax.lax.dynamic_slice_in_dim(tree.com[0], start_leaf, n_slice, 0)
+    tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf,
+                                         n_slice, 0)
+    tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
+
+    up_keys = jnp.concatenate(
+        [jnp.where(far_masks[k],
+                   offs[k] + jax.lax.broadcasted_iota(
+                       jnp.int32, far_masks[k].shape, 1), big)
+         for k in range(2, n_levels)], axis=1)
+
+    def block_fn(args):
+        (rej2, upk, b_com, b_r, b_m, l_com, l_r, l_m) = args
+        r = rej2.shape[0]
+        rej2 = rej2 & (b_m > 0)[:, None]
+        upk = jnp.where((b_m > 0)[:, None], upk, big)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, rej2.shape, 1)
+        c2_idx, c2_valid, of2 = _row_compact(rej2, cols2, cand2_budget)
+
+        acc1, rej1, gid1 = _refine_stage(pack2, b2, c2_idx, c2_valid,
+                                         b_com, b_r, theta)
+        far1_keys = jnp.where(acc1, offs[1] + gid1, big).reshape(r, -1)
+        c1_idx, c1_valid, of1 = _keys_compact(
+            jnp.where(rej1, gid1, big).reshape(r, -1), cand1_budget)
+
+        acc0, bnear, gid0 = _refine_stage(pack1, b1, c1_idx, c1_valid,
+                                          b_com, b_r, theta)
+        far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
+        far_idx, far_valid, of_f = _keys_compact(
+            jnp.concatenate([far0_keys, far1_keys, upk], axis=1), far_budget)
+        bn_idx, bn_valid, of_bn = _keys_compact(
+            jnp.where(bnear, gid0, big).reshape(r, -1), bnear_budget)
+
+        # ---- stage D: split block-near per member leaf with the leaf MAC.
+        geo = leaf_geo[bn_idx]                      # (r, bn, 5) narrow rows
+        t_com = l_com.reshape(r, b1, 3)
+        t_r = l_r.reshape(r, b1)
+        d2 = jnp.zeros((r, b1, bn_idx.shape[1]), geo.dtype)
+        for c in range(3):
+            dc = geo[:, None, :, c] - t_com[:, :, c][:, :, None]
+            d2 = d2 + dc * dc
+        d = jnp.sqrt(d2)
+        mac = (MAC_SIZE_SCALE * geo[:, None, :, 3]) < (
+            theta * (d - t_r[:, :, None]))          # (r, b1, bn)
+        live = (bn_valid & (geo[:, :, 4] > 0))[:, None, :] \
+            & (l_m.reshape(r, b1) > 0)[:, :, None]
+        gid = bn_idx[:, None, :]
+        near_keys = jnp.where(live & ~mac, gid, big).reshape(r * b1, -1)
+        resid_keys = jnp.where(live & mac, gid, big).reshape(r * b1, -1)
+        near_idx, near_valid, of_n = _keys_compact(near_keys, near_budget)
+        resid_idx, resid_valid, of_r = _keys_compact(resid_keys, resid_budget)
+        # A clipped candidate hides up to b children from BOTH classes; a
+        # clipped block-near leaf is lost for all b1 member leaves.
+        of = (of2 * (b2 * b1) + of1 * b1 + of_bn * b1 + of_n + of_r
+              + of_f).astype(jnp.int32)
+        return (near_idx, near_valid, far_idx, far_valid, resid_idx,
+                resid_valid, of)
+
+    if row_block <= 0:
+        # Dominant per-block-row temporaries: the stage B/C packed-child
+        # gathers (cand * 128 lanes) and stage D's leaf-geometry gather
+        # (bnear * 128 lanes) + (b1, bnear) MAC planes.
+        per_row = 4 * max(max(cand1_budget, cand2_budget) * 128,
+                          bnear_budget * (128 + 8 * b1))
+        row_block = max(8, (1 << 28) // max(per_row, 1))
+    block = n_blocks
+    while block > row_block or (block > 1 and n_blocks % block):
+        block = block // 2 if block % 2 == 0 else 1
+    args = (rejects_l2, up_keys, blk_com, blk_r, blk_m,
+            tgt_com.reshape(n_blocks, b1, 3),
+            tgt_r.reshape(n_blocks, b1), tgt_m.reshape(n_blocks, b1))
+    if block == n_blocks:
+        out = block_fn(args)
+    else:
+        nb = n_blocks // block
+        out = jax.lax.map(
+            block_fn,
+            tuple(a.reshape((nb, block) + a.shape[1:]) for a in args))
+        out = tuple(o.reshape((-1,) + o.shape[2:]) if o.ndim > 1 else o
+                    for o in out)
+    (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
+     of) = out
+    overflow = jnp.sum(of).astype(jnp.int32)
+
+    with_quad = tree.quad[0] is not None
+
+    def node_table(k):
+        cols = [tree.com[k], tree.mass[k][:, None]]
+        if with_quad:
+            cols.append(tree.quad[k])
+        return jnp.concatenate(cols, axis=1).astype(dtype)
+
+    nodes_all = jnp.concatenate(
+        [node_table(k) for k in range(n_levels)], axis=0)
+    return (near_idx, near_valid, far_idx, far_valid, resid_idx,
+            resid_valid, nodes_all, overflow)
+
+
 # ----------------------------------------------------------------- near field
 def _near_field_jnp(pos_sorted, mass_sorted, tgt_leaves, idx, valid,
                     leaf_size, g, eps2, guard_zero):
@@ -740,7 +904,61 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
 
     p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
     tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
-    if refine == "staged":
+    if refine == "block":
+        b1 = n_leaves // tree.com[1].shape[0]
+        # The residual (leaf-far minus block-far) inherits the fat-GROUP
+        # tail: a sparse-region block's radius makes its MAC reject almost
+        # everything, so its members' residuals are their whole leaf-far
+        # lists (measured N=1M/256: resid mean 514, p90 848, p99 4004).
+        # Budget for the tail; the skew is handled at EVAL time by the
+        # count-binned far kernel (fat rows keep the full width, the rest
+        # gather only resid_bin columns).
+        resid_budget = min(n_leaves, near_budget + far0_budget)
+        # Bin width ~ the non-fat rows (mean ~250 at N=8M): the fat eighth
+        # of rows keeps the full budget, so this only clips (and counts) if
+        # more than n_slice/8 rows exceed it.
+        resid_bin = min(resid_budget, max(512, 2 * near_budget))
+        bnear_budget = min(n_leaves, near_budget + resid_budget)
+        (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
+         nodes_all, overflow) = build_interaction_lists_block(
+            tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
+            n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
+            cand2_budget=cand_budgets[0], cand1_budget=cand_budgets[1],
+            bnear_budget=bnear_budget, resid_budget=resid_budget,
+            dtype=dtype)
+        # Block-shared far list: (b1*G)-lane target tiles, one row per block.
+        # Both far evals are count-binned on TPU: the list budgets cover the
+        # fat-row maxima, but only the longest eighth of rows gathers the
+        # full width — the rest gathers the bin width (clipping past either
+        # is counted into overflow by the kernel, never silent).
+        tgt_blocks = tgt_leaves.reshape(n_slice // b1, b1 * leaf_size, 3)
+        far_bin = max(1024, far0_budget * 5 // 8)
+        if use_pallas:
+            from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            acc, pot, of_b1 = far_field_pallas(
+                tgt_blocks, nodes_all, far_idx, far_valid, g,
+                float(softening), guard_zero, interpret=interpret,
+                compute_pot=compute_pot,
+                bin_rows=max(8, (n_slice // b1) // 8), bin_budget=far_bin)
+            a2, p2, of_b2 = far_field_pallas(
+                tgt_leaves, nodes_all, resid_idx, resid_valid, g,
+                float(softening), guard_zero, interpret=interpret,
+                compute_pot=compute_pot,
+                bin_rows=max(8, n_slice // 8), bin_budget=resid_bin)
+            overflow = overflow + of_b1 + of_b2
+        else:
+            acc, pot = _eval_far_list(
+                tgt_blocks, nodes_all, far_idx, far_valid, g=g,
+                softening=softening, use_pallas=False,
+                compute_pot=compute_pot)
+            a2, p2 = _eval_far_list(
+                tgt_leaves, nodes_all, resid_idx, resid_valid, g=g,
+                softening=softening, use_pallas=False,
+                compute_pot=compute_pot)
+        acc, pot = acc + a2, pot + p2
+    elif refine == "staged":
         (near_idx, near_valid, far_idx, far_valid, nodes_all,
          overflow) = build_interaction_lists_staged(
             tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
@@ -777,17 +995,17 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
 
 
 def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
-    """Resolve the refinement mode + staged candidate budgets.
+    """Resolve the refinement mode + staged/block candidate budgets.
 
-    "staged" needs >= 3 tree levels (falls back to dense). Auto candidate
-    budgets: every refined level-1 candidate contributes its ~8 leaf
-    children to near/far0, so cand1 ~ (near + far) / 8; level-2 candidates
-    parent both the far1 accepts and the refined level-1 nodes, so
-    cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
-    if refine == "staged" and n_levels < 3:
+    "staged"/"block" need >= 3 tree levels (fall back to dense). Auto
+    candidate budgets: every refined level-1 candidate contributes its ~8
+    leaf children to near/far0, so cand1 ~ (near + far) / 8; level-2
+    candidates parent both the far1 accepts and the refined level-1 nodes,
+    so cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
+    if refine in ("staged", "block") and n_levels < 3:
         refine = "dense"
     c2, c1 = cand_budgets
-    if refine == "staged":
+    if refine in ("staged", "block"):
         if c1 <= 0:
             c1 = max(128, -(-(near_budget + far_budget) // 8) + 127 & ~127)
         if c2 <= 0:
@@ -811,11 +1029,14 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     near/far budgets clipped some pairs (increase cfg.bh_near_budget /
     cfg.bh_far_budget).
 
-    refine: "dense" (the (n_slice, n_leaves) leaf plane) or "staged"
+    refine: "dense" (the (n_slice, n_leaves) leaf plane), "staged"
     (hierarchical candidate refinement, for large leaf counts — see
-    build_interaction_lists_staged; falls back to dense on trees with
-    fewer than 3 levels). cand_budgets = (cand2, cand1) staged candidate
-    budgets; 0 resolves to a default derived from the list budgets.
+    build_interaction_lists_staged), or "block" (staged with level-1 block
+    targets sharing one far list per block + per-leaf residual shell —
+    build_interaction_lists_block; cuts the budget-wide far gather ~8x).
+    Both fall back to dense on trees with fewer than 3 levels.
+    cand_budgets = (cand2, cand1) candidate budgets; 0 resolves to a
+    default derived from the list budgets.
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole,
@@ -823,8 +1044,9 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     n_leaves = n_pad // leaf_size
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
-    stop = 2 if refine == "staged" else 1
-    far_masks, rejects = traverse(tree, theta, stop_level=stop)
+    far_masks, rejects = traverse(
+        tree, theta, stop_level=1 if refine == "dense" else 2,
+        target_level=1 if refine == "block" else 0)
     acc, pot, overflow = _forces_sorted(
         pos_s, mass_s, tree, far_masks, rejects,
         start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
@@ -868,6 +1090,11 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     # picks a consistent copy.
     n_slice = -(-n_leaves // n_ranks)
     start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
+    if refine == "block":
+        # Block mode needs b1-aligned target windows; rank slices are
+        # arbitrary, so the sliced path downgrades to per-leaf staged
+        # (same physics, the far list just stays leaf-granular).
+        refine = "staged"
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
     # Traverse only this rank's target window: with the sliced traversal and

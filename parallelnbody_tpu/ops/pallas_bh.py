@@ -381,16 +381,23 @@ def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
 
     Evaluation is chunked over target rows so the 512 B/entry gathered
     buffer stays under _FAR_GATHER_BYTES (at N=4M / 8192 leaves a single
-    full-width buffer is ~6.4 GB and the remote compile falls over)."""
+    full-width buffer is ~6.4 GB and the remote compile falls over).
+
+    The sub-tile height shrinks for wide target tiles: the kernel's
+    (s_in, G) temporaries are ~1 MB each at G=2048 (block-granularity
+    targets) and the scoped-vmem stack overflows at s_in=128 — cap
+    s_in * G at 128 * 512."""
     n_slice, budget = idx.shape
-    pad = (-budget) % _FAR_S_IN
+    g_lanes = tgt_t.shape[2]
+    s_in = max(8, min(_FAR_S_IN, (_FAR_S_IN * 512) // max(g_lanes, 128)))
+    pad = (-budget) % s_in
     if pad:
         idx = jnp.concatenate(
             [idx, jnp.zeros((n_slice, pad), idx.dtype)], axis=1)
         valid = jnp.concatenate(
             [valid, jnp.zeros((n_slice, pad), bool)], axis=1)
         budget += pad
-    s_outer = budget // _FAR_S_IN
+    s_outer = budget // s_in
 
     row_block = max(8, min(n_slice, _FAR_GATHER_BYTES // (budget * 512)))
     outs = []
@@ -400,7 +407,7 @@ def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
         src = tab[idx[rows]]                              # (R, B, 128)
         if scattered_valid:
             src = src * valid[rows][..., None].astype(src.dtype)
-        src = src.reshape(n_rows, s_outer, _FAR_S_IN, 128)
+        src = src.reshape(n_rows, s_outer, s_in, 128)
         outs.append(_gathered_call(
             tgt_t[rows], src, cnt[rows][:, None].astype(jnp.int32),
             eps2=eps2, guard_zero=guard_zero, quad=quad,

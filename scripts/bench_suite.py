@@ -49,9 +49,38 @@ def measure(cfg: SimConfig, iters: int = 5) -> dict:
     return out
 
 
+def measure_sharded(cfg: SimConfig, n_dev: int, iters: int = 5) -> dict:
+    """Sharded-step measurement over an n_dev ring mesh (VERDICT r2 #4):
+    first contact with real multi-chip hardware is this one function /
+    `bench --devices N` on the CLI."""
+    from parallelnbody_tpu.parallel import make_ring_mesh, shard_state
+    from parallelnbody_tpu.parallel.sharded import (
+        make_sharded_step, sharded_init_accel)
+
+    mesh = make_ring_mesh(n_dev)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    step = make_sharded_step(cfg, mesh)
+    state = step(state)
+    force_sync(state.time)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    force_sync(state.time)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "n": cfg.n, "force": cfg.resolve_force(), "devices": n_dev,
+        "ms_per_step": dt * 1e3, "steps_per_sec": 1.0 / dt,
+        "pairs_per_sec_per_chip": cfg.n * cfg.n / dt / n_dev
+        if cfg.resolve_force() != "barnes_hut" else None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes only")
+    ap.add_argument("--xl", action="store_true",
+                    help="include the N=16M single-chip case (~10 min extra)")
     ap.add_argument("--out", default="BENCH_RESULTS.md")
     args = ap.parse_args()
 
@@ -96,7 +125,24 @@ def main():
              SimConfig(n=4194304, force="barnes_hut", theta=0.75,
                        bh_near_budget=3584, bh_far_budget=1536,
                        track_potential=False, **common)),
+            # Staged hierarchical lists (r4): leaf 256 at 8M (32768 leaves —
+            # the dense plane OOMs there); budgets from measured maxima
+            # (near_max 197, far_max 2528) with headroom.
+            ("Barnes-Hut n=8388608 single chip (staged lists, theta=0.72)",
+             SimConfig(n=8388608, force="barnes_hut", theta=0.72,
+                       bh_leaf_size=256, bh_refine="staged",
+                       bh_near_budget=512, bh_far_budget=2816,
+                       bh_cand_budget=512, bh_cand2_budget=256,
+                       track_potential=False, **common)),
         ]
+        if args.xl:
+            cases.append(
+                ("Barnes-Hut n=16777216 single chip (staged, theta=0.72)",
+                 SimConfig(n=16777216, force="barnes_hut", theta=0.72,
+                           bh_leaf_size=256, bh_refine="staged",
+                           bh_near_budget=512, bh_far_budget=3072,
+                           bh_cand_budget=512, bh_cand2_budget=256,
+                           track_potential=False, **common)))
 
     rows = []
     for name, cfg in cases:
@@ -105,6 +151,23 @@ def main():
             r = measure(cfg)
             r["name"] = name
         except Exception as e:  # keep the suite going
+            r = {"name": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    # Sharded case: every visible device in one ring (skipped on one chip —
+    # this rig tunnels a single TPU; on a real slice it runs unmodified).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        name = f"sharded ring all-pairs n=262144 x{n_dev} devices"
+        try:
+            cfg = SimConfig(n=262144 if backend == "tpu" else 4096,
+                            force="direct_pallas" if backend == "tpu"
+                            else "direct",
+                            track_potential=False, **common)
+            r = measure_sharded(cfg, n_dev)
+            r["name"] = name
+        except Exception as e:
             r = {"name": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
         rows.append(r)
         print(json.dumps(r), flush=True)
@@ -122,11 +185,13 @@ def main():
         if "error" in r:
             lines.append(f"| {r['name']} | ERROR: {r['error']} | | | |")
         else:
-            pps = f"{r['pairs_per_sec']:.3e}" if "pairs_per_sec" in r else "-"
+            pps = r.get("pairs_per_sec") or r.get("pairs_per_sec_per_chip")
+            pps = f"{pps:.3e}" if pps else "-"
+            comp = r.get("compile_plus_first_s")
+            comp = f"{comp:.0f}" if comp is not None else "-"
             lines.append(
                 f"| {r['name']} | {r['ms_per_step']:.1f} | "
-                f"{r['steps_per_sec']:.2f} | {pps} | "
-                f"{r['compile_plus_first_s']:.0f} |")
+                f"{r['steps_per_sec']:.2f} | {pps} | {comp} |")
     Path(args.out).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
 

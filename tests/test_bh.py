@@ -676,3 +676,63 @@ def test_sharded_bh_staged_matches_dense(eight_devices=None):
     out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_block_lists_cover_every_pair_exactly_once():
+    """Two-granularity (block) refinement coverage: for every target leaf,
+    the block-shared far list (weighted by node leaf counts), the per-leaf
+    residual far list, and the near list partition all source leaves."""
+    from parallelnbody_tpu.ops.bh import build_interaction_lists_block
+
+    pos, _, mass = _plummer(16384, seed=1, dtype="float64")
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32,
+                      jnp.asarray([10.0, 10.0, 10.0]))
+    n_leaves = tree.com[0].shape[0]
+    widths = [c.shape[0] for c in tree.com]
+    b1 = widths[0] // widths[1]
+    far, rej2 = traverse(tree, 0.5, stop_level=2, target_level=1)
+    (ni, nv, fi, fv, ri, rv, nodes_all, of) = build_interaction_lists_block(
+        tree, far, rej2, theta=0.5, start_leaf=0, n_slice=n_leaves,
+        near_budget=n_leaves, far_budget=2 * n_leaves,
+        cand2_budget=widths[2], cand1_budget=widths[1],
+        bnear_budget=n_leaves, resid_budget=n_leaves, dtype=jnp.float64)
+    assert int(of) == 0
+    w = np.zeros(sum(widths), np.int64)
+    off = 0
+    for k, wk in enumerate(widths):
+        w[off:off + wk] = n_leaves // wk
+        off += wk
+    far_cover = (w[np.asarray(fi)] * np.asarray(fv)).sum(1)   # per block
+    cover = (np.asarray(nv).sum(1) + np.asarray(rv).sum(1)
+             + np.repeat(far_cover, b1))
+    np.testing.assert_array_equal(cover, n_leaves)
+    # near ids ascending per row (kernel segment-bounds requirement)
+    ni_np, nv_np = np.asarray(ni), np.asarray(nv)
+    for r in range(n_leaves):
+        row = ni_np[r][nv_np[r]]
+        assert np.all(np.diff(row) > 0)
+
+
+def test_block_mode_accuracy_matches_dense_class():
+    """Block refinement must be at least as accurate as dense (entries are
+    accepted at equal or finer granularity) and report starved budgets."""
+    pos, _, mass = _plummer(8192, seed=11, dtype="float64")
+    kwargs = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
+                  near_budget=512, far0_budget=1024, multipole=2)
+    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.02)
+    den = float(jnp.sqrt(jnp.mean(jnp.sum(acc_d ** 2, 1))))
+    a_ref, _, of_ref = bh_accel(pos, mass, refine="dense", **kwargs)
+    a_b, _, of_b = bh_accel(pos, mass, refine="block", **kwargs)
+    assert int(of_ref) == 0 and int(of_b) == 0
+    rms_ref = float(jnp.sqrt(jnp.mean(jnp.sum((a_ref - acc_d) ** 2, 1)))) / den
+    rms_b = float(jnp.sqrt(jnp.mean(jnp.sum((a_b - acc_d) ** 2, 1)))) / den
+    assert rms_b <= rms_ref * 1.05, (rms_b, rms_ref)
+    # momentum conservation at the same class
+    f = np.asarray(jnp.sum(mass[:, None] * a_b, axis=0))
+    fscale = float(jnp.sum(mass * jnp.linalg.norm(a_b, axis=1)))
+    assert np.linalg.norm(f) / fscale < 2e-3
+    _, _, of_t = bh_accel(pos, mass, refine="block",
+                          cand_budgets=(2, 4), **kwargs)
+    assert int(of_t) > 0
