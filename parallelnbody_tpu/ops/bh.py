@@ -1144,7 +1144,9 @@ def leaf_aabbs(pos, mass, *, leaf_size=256, curve="hilbert"):
 def tree_stats(pos, mass, cfg) -> dict:
     """Structure dump for the `tree` CLI subcommand: depth, level widths,
     leaf-radius and interaction-list-length percentiles, overflow. The
-    list-length histogram is also the tuning signal for the budgets."""
+    list-length histogram is also the tuning signal for the budgets —
+    reported for whichever refinement mode the config resolves to (dense /
+    staged / block), so `tree` always audits what `run` would execute."""
     import numpy as np
 
     pos_s, mass_s, _, tree, n, n_pad = _prepare(
@@ -1152,10 +1154,9 @@ def tree_stats(pos, mass, cfg) -> dict:
         curve=cfg.bh_curve,
         multipole_order=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
     n_leaves = n_pad // cfg.resolve_bh_leaf_size()
-    far_masks, rejects_l1 = traverse(tree, cfg.theta)
-    near_idx, near_valid, far0_idx, far0_valid, overflow = leaf_interactions(
-        tree, rejects_l1, cfg.theta, start_leaf=0, n_slice=n_leaves,
-        near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget)
+    refine, cands = resolve_refine(
+        cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
+        tree.n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
 
     def pct(x):
         x = np.asarray(x, np.float64)
@@ -1163,20 +1164,67 @@ def tree_stats(pos, mass, cfg) -> dict:
                 (("p50", 50), ("p90", 90), ("p99", 99), ("max", 100))} | {
                     "mean": float(x.mean())}
 
-    upper = sum(int(jnp.sum(far_masks[k])) for k in range(1, tree.n_levels))
-    return {
+    out = {
         "n": int(n), "n_leaves": n_leaves,
         "leaf_size": cfg.resolve_bh_leaf_size(),
         "levels": tree.n_levels,
         "level_widths": [int(c.shape[0]) for c in tree.com],
-        "theta": cfg.theta, "curve": cfg.bh_curve,
+        "theta": cfg.theta, "curve": cfg.bh_curve, "refine": refine,
         "leaf_radius": pct(tree.radius[0]),
-        "near_leaves_per_target": pct(jnp.sum(near_valid, axis=1)),
-        "far0_nodes_per_target": pct(jnp.sum(far0_valid, axis=1)),
-        "upper_accepted_total": upper,
-        "overflow": int(overflow),
         "budgets": {"near": cfg.bh_near_budget, "far": cfg.bh_far_budget},
     }
+    if refine == "dense":
+        far_masks, rejects_l1 = traverse(tree, cfg.theta)
+        near_idx, near_valid, far0_idx, far0_valid, overflow = \
+            leaf_interactions(
+                tree, rejects_l1, cfg.theta, start_leaf=0, n_slice=n_leaves,
+                near_budget=cfg.bh_near_budget,
+                far0_budget=cfg.bh_far_budget)
+        upper = sum(int(jnp.sum(far_masks[k]))
+                    for k in range(1, tree.n_levels))
+        out |= {
+            "near_leaves_per_target": pct(jnp.sum(near_valid, axis=1)),
+            "far0_nodes_per_target": pct(jnp.sum(far0_valid, axis=1)),
+            "upper_accepted_total": upper,
+            "overflow": int(overflow),
+        }
+    elif refine == "staged":
+        far_masks, rej2 = traverse(tree, cfg.theta, stop_level=2)
+        nv, fv = None, None
+        (_, nv, _, fv, _, overflow) = build_interaction_lists_staged(
+            tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
+            n_slice=n_leaves, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
+            cand1_budget=cands[1], dtype=pos_s.dtype)
+        out |= {
+            "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
+            "far_nodes_per_target": pct(jnp.sum(fv, axis=1)),
+            "l2_rejects_per_target": pct(jnp.sum(rej2, axis=1)),
+            "cand_budgets": {"cand2": cands[0], "cand1": cands[1]},
+            "overflow": int(overflow),
+        }
+    else:  # block
+        b1 = n_leaves // tree.com[1].shape[0]
+        far_masks, rej2 = traverse(tree, cfg.theta, stop_level=2,
+                                   target_level=1)
+        resid_budget = min(n_leaves, cfg.bh_near_budget + cfg.bh_far_budget)
+        (_, nv, _, fv, _, rv, _, overflow) = build_interaction_lists_block(
+            tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
+            n_slice=n_leaves, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
+            cand1_budget=cands[1],
+            bnear_budget=min(n_leaves, cfg.bh_near_budget + resid_budget),
+            resid_budget=resid_budget, dtype=pos_s.dtype)
+        out |= {
+            "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
+            "far_nodes_per_block": pct(jnp.sum(fv, axis=1)),
+            "resid_nodes_per_target": pct(jnp.sum(rv, axis=1)),
+            "l2_rejects_per_block": pct(jnp.sum(rej2, axis=1)),
+            "cand_budgets": {"cand2": cands[0], "cand1": cands[1],
+                             "resid": resid_budget},
+            "overflow": int(overflow),
+        }
+    return out
 
 
 def use_pallas_bh() -> bool:

@@ -58,7 +58,8 @@ from parallelnbody_tpu.ops.morton import morton_encode
 from parallelnbody_tpu.ops.hilbert import hilbert_encode
 from parallelnbody_tpu.ops.bh import (
     build_tree, build_upper, traverse, build_interaction_lists,
-    eval_far_lists, _near_field_jnp, use_pallas_bh, domain_cube,
+    build_interaction_lists_staged, resolve_refine, eval_far_lists,
+    _eval_far_list, _near_field_jnp, use_pallas_bh, domain_cube,
 )
 from parallelnbody_tpu.parallel.mesh import RING_AXIS
 
@@ -214,21 +215,44 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
     tree = build_upper(com_g, mass_g, rad_g, quad_g, sentinel,
                        max_levels=cfg.bh_max_levels)
 
-    # ---- sliced traversal + lists for the rank's own (aligned) window
+    # ---- sliced traversal + lists for the rank's own (aligned) window.
+    # The refinement mode follows the config: the dense plane is
+    # O(n_leaf_loc x n_leaves_global) per rank — the same wall the
+    # single-chip path hits past ~8-16k global leaves — so large-N
+    # distributed runs use the staged hierarchical lists ("block"
+    # downgrades to staged here: rank windows are not block-aligned).
+    refine = cfg.resolve_bh_refine()
+    refine, cands = resolve_refine(
+        "staged" if refine == "block" else refine,
+        (cfg.bh_cand2_budget, cfg.bh_cand_budget), tree.n_levels,
+        cfg.bh_near_budget, cfg.bh_far_budget)
     start = rank * n_leaf_loc
-    far_masks, rejects_l1 = traverse(tree, cfg.theta, start_leaf=start,
-                                     n_slice=n_leaf_loc)
-    (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
-     nodes_up, leaf_nodes, of_lists) = build_interaction_lists(
-        tree, far_masks, rejects_l1, theta=cfg.theta, start_leaf=start,
-        n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
-        far0_budget=cfg.bh_far_budget, dtype=dtype)
-
     tgt_leaves = pos_own.reshape(n_leaf_loc, leaf_size, 3)
-    acc, pot = eval_far_lists(
-        tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes, far0_idx,
-        far0_valid, g=cfg.g, softening=softening, use_pallas=use_pallas,
-        compute_pot=compute_pot)
+    if refine == "staged":
+        far_masks, rej2 = traverse(tree, cfg.theta, start_leaf=start,
+                                   n_slice=n_leaf_loc, stop_level=2)
+        (near_idx, near_valid, far_idx, far_valid, nodes_all,
+         of_lists) = build_interaction_lists_staged(
+            tree, far_masks, rej2, theta=cfg.theta, start_leaf=start,
+            n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
+            cand1_budget=cands[1], dtype=dtype)
+        acc, pot = _eval_far_list(
+            tgt_leaves, nodes_all, far_idx, far_valid, g=cfg.g,
+            softening=softening, use_pallas=use_pallas,
+            compute_pot=compute_pot)
+    else:
+        far_masks, rejects_l1 = traverse(tree, cfg.theta, start_leaf=start,
+                                         n_slice=n_leaf_loc)
+        (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
+         nodes_up, leaf_nodes, of_lists) = build_interaction_lists(
+            tree, far_masks, rejects_l1, theta=cfg.theta, start_leaf=start,
+            n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
+            far0_budget=cfg.bh_far_budget, dtype=dtype)
+        acc, pot = eval_far_lists(
+            tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes, far0_idx,
+            far0_valid, g=cfg.g, softening=softening, use_pallas=use_pallas,
+            compute_pot=compute_pot)
 
     # ---- ring near field: shard tiles ppermute around the ring; pass p
     # evaluates the window of leaves owned by rank (self - p) % P

@@ -736,3 +736,34 @@ def test_block_mode_accuracy_matches_dense_class():
     _, _, of_t = bh_accel(pos, mass, refine="block",
                           cand_budgets=(2, 4), **kwargs)
     assert int(of_t) > 0
+
+
+def test_padding_target_leaves_get_empty_lists():
+    """Zero-mass (padding) target leaves consume no list budget (ADVICE r2
+    #1): with n far from the padded size, the phantom target rows' lists
+    must be empty in every refinement mode."""
+    from parallelnbody_tpu.ops.bh import (_prepare, leaf_interactions,
+                                          build_interaction_lists_staged)
+
+    pos, _, mass = _plummer(2100, seed=5, dtype="float64")  # pads to 4096
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
+                                                curve="hilbert")
+    n_leaves = n_pad // 32
+    assert n_pad > 2100
+    phantom = np.asarray(tree.mass[0]) == 0
+    assert phantom.any()
+
+    far, rej1 = traverse(tree, 0.5)
+    ni, nv, fi, fv, _ = leaf_interactions(
+        tree, rej1, 0.5, start_leaf=0, n_slice=n_leaves,
+        near_budget=64, far0_budget=256)
+    assert int(jnp.sum(nv[phantom])) == 0
+    assert int(jnp.sum(fv[phantom])) == 0
+
+    far2, rej2 = traverse(tree, 0.5, stop_level=2)
+    ni, nv, fi, fv, _, _ = build_interaction_lists_staged(
+        tree, far2, rej2, theta=0.5, start_leaf=0, n_slice=n_leaves,
+        near_budget=64, far_budget=512, cand2_budget=32, cand1_budget=64,
+        dtype=jnp.float64)
+    assert int(jnp.sum(nv[phantom])) == 0
+    assert int(jnp.sum(fv[phantom])) == 0

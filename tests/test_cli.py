@@ -228,3 +228,19 @@ def test_bench_sharded(capsys, eight_devices):
     assert out["steps_per_sec"] > 0
     assert out["interactions_per_sec_per_chip"] == pytest.approx(
         out["interactions_per_sec"] / 8)
+
+
+def test_tree_stats_staged_and_block(capsys):
+    """`tree` audits whichever refinement mode the config resolves to, so
+    budget tuning covers the staged/block paths too."""
+    for mode, extra_key in (("staged", "far_nodes_per_target"),
+                            ("block", "far_nodes_per_block")):
+        rc = main(["tree", "--n", "16384", "--ic", "plummer",
+                   "--bh-leaf-size", "32", "--theta", "0.5",
+                   "--bh-refine", mode])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["refine"] == mode
+        assert out["overflow"] == 0
+        assert out[extra_key]["max"] >= 1
+        assert out["cand_budgets"]["cand1"] > 0

@@ -401,3 +401,20 @@ def test_sharded_step_reports_midrun_overflow(eight_devices):
     roomy = cfg.replace(bh_near_budget=256, bh_far_budget=1024)
     _, of0 = make_sharded_step(roomy, mesh, report_overflow=True)(state)
     assert int(of0) == 0
+
+
+def test_distributed_bh_staged_refine(eight_devices):
+    """The distributed path honors bh_refine=staged (its per-rank dense
+    plane is O(n_leaf_loc x n_leaves_global) — the same large-N wall):
+    accuracy must match the dense distributed path."""
+    cfg = _dist_cfg(2048).replace(bh_refine="staged")
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg.replace(bh_refine="dense"))
+    ref = make_sharded_step(cfg.replace(bh_refine="dense"), mesh)(
+        shard_state(state, mesh))
+    out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               rtol=1e-9, atol=1e-12)
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) == 0
