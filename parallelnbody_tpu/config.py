@@ -72,9 +72,13 @@ class SimConfig:
                                    # (measured max 3488 of 4096 at N=1M), and
                                    # the budget costs list width, not
                                    # compute, so default to covering it.
-    bh_far_budget: int = 2560      # max accepted leaf-level monopoles per
-                                   # target leaf (overflow reported; N=1M
-                                   # theta=0.72 measured max ~1300)
+    bh_far_budget: int = 2816      # max far multipoles per target leaf
+                                   # (overflow reported). Dense mode: leaf
+                                   # multipoles only (N=1M theta=0.72 max
+                                   # ~1300). Staged/block: ALL far classes
+                                   # in one list — auto-leaf N=4M/8M
+                                   # measured max 2547/2528, so the default
+                                   # carries ~10% headroom over them.
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)
     bh_distributed: bool = False   # multi-chip BH: False = replicated tree
@@ -167,23 +171,24 @@ class SimConfig:
     def resolve_bh_leaf_size(self) -> int:
         """Resolve bh_leaf_size=0 to a measured-best size for this n (v5e:
         128 wins at 262k — 78 vs 90 ms — fatter relative leaves there; 256
-        at 1M; 512 at 4M keeps the dense list plane at 8192^2)."""
+        everywhere above). The round-3 512 tier at N>=4M existed only to
+        keep the dense list plane at 8192^2; the staged lists (auto above
+        8192 leaves) removed that constraint, and leaf 256 measured 28%
+        faster at N=4M (1025 vs 1421 ms) and 24% at N=8M."""
         if self.bh_leaf_size:
             return self.bh_leaf_size
-        if self.n <= (1 << 19):
-            return 128
-        if self.n <= (1 << 21):
-            return 256
-        return 512
+        return 128 if self.n <= (1 << 19) else 256
 
     def resolve_bh_refine(self) -> str:
         """Resolve bh_refine='auto': the dense leaf plane is O(n_leaves) per
-        target (fastest to ~8k leaves); past that the staged hierarchical
-        refinement wins (and past ~16k leaves dense is a memory wall)."""
+        target — measured faster up to 4096 leaves (N=1M/256: 259 vs
+        270 ms), slower by 8192 (N=2M galaxy: 664 vs 624 ms), and a memory
+        wall past ~16k; staged hierarchical refinement takes over at 8192
+        leaves."""
         if self.bh_refine != "auto":
             return self.bh_refine
         n_leaves = -(-self.n // self.resolve_bh_leaf_size())
-        return "staged" if n_leaves > 8192 else "dense"
+        return "staged" if n_leaves >= 8192 else "dense"
 
     def resolve_force(self, backend: str | None = None) -> str:
         """Resolve force='auto' to a concrete method for the current backend:

@@ -113,17 +113,22 @@ def main():
                        bh_near_budget=3584, bh_far_budget=1536,
                        track_potential=False, **common)),
             # Colliding cores pack more near leaves per target than a single
-            # Plummer sphere: budget 5120 measured overflow-free at 2M.
+            # Plummer sphere: budget 5120 measured overflow-free at 2M
+            # (staged near_max 4715). Auto refine = staged at 8192 leaves
+            # (r4: 624 vs 664 ms dense); far budget covers the combined
+            # staged far classes (measured max 1804).
             ("Barnes-Hut n=2097152 galaxy collision (BASELINE config 5)",
              SimConfig(n=2097152, ic="galaxy_collision", force="barnes_hut",
-                       theta=0.72, bh_near_budget=5120, bh_far_budget=1536,
+                       theta=0.72, bh_near_budget=5120, bh_far_budget=2048,
                        track_potential=False,
                        integrator="leapfrog", softening=0.01, dt=5e-4)),
             # BASELINE config 4 asks for N=4M on a v5p MESH; this runs it on
-            # ONE v5e chip (leaf=512 keeps the dense list plane at 8192^2).
-            ("Barnes-Hut n=4194304 single chip (quad, theta=0.75)",
-             SimConfig(n=4194304, force="barnes_hut", theta=0.75,
-                       bh_near_budget=3584, bh_far_budget=1536,
+            # ONE v5e chip. r4: leaf 256 + staged lists (auto) measured
+            # 1025 ms at theta 0.72 vs the round-3 dense leaf-512 1421 ms
+            # at theta 0.75 — faster AND more accurate.
+            ("Barnes-Hut n=4194304 single chip (staged, theta=0.72)",
+             SimConfig(n=4194304, force="barnes_hut", theta=0.72,
+                       bh_near_budget=512, bh_far_budget=2816,
                        track_potential=False, **common)),
             # Staged hierarchical lists (r4): leaf 256 at 8M (32768 leaves —
             # the dense plane OOMs there); budgets from measured maxima

@@ -50,13 +50,14 @@ def main():
                     choices=("both", "dense", "staged", "lists", "phases",
                              "block"))
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ic", default="plummer")
     args = ap.parse_args()
 
     from parallelnbody_tpu.models import get_ic
 
-    cfg = SimConfig(n=args.n, ic="plummer", softening=0.01, dt=1e-4,
+    cfg = SimConfig(n=args.n, ic=args.ic, softening=0.01, dt=1e-4,
                     force="barnes_hut")
-    pos, _, mass = get_ic("plummer")(jax.random.key(cfg.seed), cfg)
+    pos, _, mass = get_ic(args.ic)(jax.random.key(cfg.seed), cfg)
     use_pallas = bh.use_pallas_bh()
     print(f"backend={jax.default_backend()} pallas={use_pallas}", flush=True)
 

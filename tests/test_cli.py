@@ -157,7 +157,11 @@ def test_auto_bh_leaf_size():
 
     assert SimConfig(n=262144).resolve_bh_leaf_size() == 128
     assert SimConfig(n=1048576).resolve_bh_leaf_size() == 256
-    assert SimConfig(n=4194304).resolve_bh_leaf_size() == 512
+    # 512 at 4M+ was the dense-list-plane constraint; staged lists removed
+    # it and leaf 256 measured 28% faster at 4M (r4).
+    assert SimConfig(n=4194304).resolve_bh_leaf_size() == 256
+    assert SimConfig(n=4194304).resolve_bh_refine() == "staged"
+    assert SimConfig(n=1048576).resolve_bh_refine() == "dense"
     assert SimConfig(n=4096, bh_leaf_size=32).resolve_bh_leaf_size() == 32
 
 
