@@ -349,13 +349,16 @@ def _child_pack(tree: BHTree, k: int):
     return jnp.concatenate([c.reshape(n_k, b) for c in cols], axis=1), b
 
 
-def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta):
+def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta,
+                  return_geo=False):
     """Gather each candidate node's packed children and test the group MAC
     per child. Returns (acc, rej, gid): (R, B, b) masks of children accepted
     as multipoles / needing further refinement, and their global child ids
     (ascending along flattened columns when cand_idx rows are ascending).
     Empty children (mass 0 => CoM = sentinel) are excluded from BOTH
-    classes — they carry no physics."""
+    classes — they carry no physics. return_geo=True appends the gathered
+    (cx, cy, cz, cr) component arrays (the block builder's per-leaf stage D
+    re-tests the same children against each member leaf)."""
     rows = pack[cand_idx]                       # (R, B, 5b) full-lane rows
     cx = rows[:, :, 0 * b:1 * b]
     cy = rows[:, :, 1 * b:2 * b]
@@ -369,6 +372,8 @@ def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta):
     mac = (MAC_SIZE_SCALE * cr) < (theta * (d - tgt_r[:, None, None]))
     live = cand_valid[:, :, None] & (cm > 0)
     gid = cand_idx[:, :, None] * b + jnp.arange(b, dtype=jnp.int32)
+    if return_geo:
+        return live & mac, live & ~mac, gid, (cx, cy, cz, cr)
     return live & mac, live & ~mac, gid
 
 
@@ -495,8 +500,7 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
 def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
                                   theta, start_leaf, n_slice, near_budget,
                                   far_budget, cand2_budget, cand1_budget,
-                                  bnear_budget, resid_budget, dtype,
-                                  row_block=0):
+                                  resid_budget, dtype, row_block=0):
     """Two-granularity far field: the staged refinement with the MAC
     evaluated against LEVEL-1 BLOCK targets (com/radius of the b1-leaf
     group), so accepted far entries are valid for every member leaf and the
@@ -506,22 +510,27 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
     Inputs come from traverse(stop_level=2, target_level=1) for the BLOCK
     window [start_leaf/b1, ...): far_masks rows and rejects_l2 rows are
     blocks. Stages A-C run as in build_interaction_lists_staged but against
-    block targets; leaves REJECTED by the block MAC ("block-near") go
-    through a stage D that splits them per member leaf with the leaf MAC:
+    block targets. Stage D refines the block-REJECTED subtrees per member
+    leaf HIERARCHICALLY (the first stage-D design jumped straight to leaf
+    granularity, which forced coarse acceptances fine — a fat block's
+    residual became its members' whole far field, p99 8083 of 8192 leaves
+    at N=1M/128):
 
-      * fails the leaf MAC too  -> the exact near list (the same set the
-        per-leaf pipeline produces: failing the leaf MAC implies failing
-        the stricter block MAC, so every such source reaches stage D);
-      * passes the leaf MAC     -> a per-leaf RESIDUAL far list (leaf ids
-        only) — the boundary shell where granularities disagree. Entries
-        here are evaluated at leaf granularity, where the per-leaf
-        pipeline may have used the (coarser) parent: accuracy is equal or
-        better, not identical fp.
+      * a candidate l1 node whose live children were ALL block-rejected
+        ("full reject") and which passes the member leaf's MAC goes into
+        that leaf's residual list COARSE, as one l1 entry — it covers
+        exactly its block-rejected children, so it cannot double-count
+        against the shared block-far list;
+      * otherwise its block-rejected children are tested individually per
+        leaf: leaf-MAC pass -> residual (leaf id), fail -> the exact near
+        list (identical to the per-leaf pipeline's near set: failing the
+        leaf MAC implies failing every coarser MAC up the chain).
 
     Returns (near_idx, near_valid, far_idx, far_valid, resid_idx,
     resid_valid, nodes_all, overflow): far lists have n_slice/b1 rows (one
     per block; evaluate with (b1*G)-lane target tiles), near/resid have
-    n_slice rows. start_leaf must be block-aligned."""
+    n_slice rows (resid ids index nodes_all: leaves and level-1 nodes).
+    start_leaf must be block-aligned."""
     n_levels = tree.n_levels
     n_leaves = tree.com[0].shape[0]
     widths = [c.shape[0] for c in tree.com]
@@ -537,13 +546,13 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
 
     pack2, b2 = _child_pack(tree, 2)
     pack1, _ = _child_pack(tree, 1)
-    # Leaf geometry row table for stage D: [cx, cy, cz, r, m] narrow rows.
-    leaf_geo = jnp.stack(
-        [tree.com[0][:, 0], tree.com[0][:, 1], tree.com[0][:, 2],
-         tree.radius[0], tree.mass[0]], axis=1)
+    # l1 geometry row table for stage D's per-leaf l1 MAC: narrow rows
+    # [cx, cy, cz, r, m] (row-count-bound gather).
+    l1_geo = jnp.stack(
+        [tree.com[1][:, 0], tree.com[1][:, 1], tree.com[1][:, 2],
+         tree.radius[1], tree.mass[1]], axis=1)
     cand2_budget = min(cand2_budget, widths[2])
     cand1_budget = min(cand1_budget, widths[1])
-    bnear_budget = min(bnear_budget, widths[0])
 
     start_block = start_leaf // b1
     blk_com = jax.lax.dynamic_slice_in_dim(tree.com[1], start_block,
@@ -577,45 +586,63 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
         c1_idx, c1_valid, of1 = _keys_compact(
             jnp.where(rej1, gid1, big).reshape(r, -1), cand1_budget)
 
-        acc0, bnear, gid0 = _refine_stage(pack1, b1, c1_idx, c1_valid,
-                                          b_com, b_r, theta)
+        acc0, rej0, gid0, (cx0, cy0, cz0, cr0) = _refine_stage(
+            pack1, b1, c1_idx, c1_valid, b_com, b_r, theta, return_geo=True)
         far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
         far_idx, far_valid, of_f = _keys_compact(
             jnp.concatenate([far0_keys, far1_keys, upk], axis=1), far_budget)
-        bn_idx, bn_valid, of_bn = _keys_compact(
-            jnp.where(bnear, gid0, big).reshape(r, -1), bnear_budget)
 
-        # ---- stage D: split block-near per member leaf with the leaf MAC.
-        geo = leaf_geo[bn_idx]                      # (r, bn, 5) narrow rows
-        t_com = l_com.reshape(r, b1, 3)
-        t_r = l_r.reshape(r, b1)
-        d2 = jnp.zeros((r, b1, bn_idx.shape[1]), geo.dtype)
+        # ---- stage D: hierarchical per-member-leaf refinement of the
+        # block-rejected subtrees (see docstring).
+        t_com = l_com                              # (r, b1, 3)
+        t_r = l_r                                  # (r, b1)
+        t_live = l_m > 0                           # (r, b1)
+        g1 = l1_geo[c1_idx]                        # (r, B1, 5) narrow rows
+        d2 = jnp.zeros(c1_idx.shape[:1] + (b1, c1_idx.shape[1]), g1.dtype)
         for c in range(3):
-            dc = geo[:, None, :, c] - t_com[:, :, c][:, :, None]
+            dc = g1[:, None, :, c] - t_com[:, :, c][:, :, None]
             d2 = d2 + dc * dc
-        d = jnp.sqrt(d2)
-        mac = (MAC_SIZE_SCALE * geo[:, None, :, 3]) < (
-            theta * (d - t_r[:, :, None]))          # (r, b1, bn)
-        live = (bn_valid & (geo[:, :, 4] > 0))[:, None, :] \
-            & (l_m.reshape(r, b1) > 0)[:, :, None]
-        gid = bn_idx[:, None, :]
-        near_keys = jnp.where(live & ~mac, gid, big).reshape(r * b1, -1)
-        resid_keys = jnp.where(live & mac, gid, big).reshape(r * b1, -1)
+        mac1_leaf = (MAC_SIZE_SCALE * g1[:, None, :, 3]) < (
+            theta * (jnp.sqrt(d2) - t_r[:, :, None]))   # (r, b1, B1)
+        live1 = (c1_valid & (g1[:, :, 4] > 0))[:, None, :] \
+            & t_live[:, :, None]
+        # Full-reject candidates: no live child was block-accepted, so the
+        # l1 multipole covers exactly the block-rejected children — safe to
+        # take COARSE for leaves that accept it.
+        full_rej = ~jnp.any(acc0, axis=2)          # (r, B1)
+        coarse = live1 & full_rej[:, None, :] & mac1_leaf
+        resid2_keys = jnp.where(coarse, offs[1] + c1_idx[:, None, :],
+                                big).reshape(r * b1, -1)
+
+        # Remaining block-rejected children, tested individually per leaf.
+        dx = cx0[:, None] - t_com[..., 0][:, :, None, None]
+        dy = cy0[:, None] - t_com[..., 1][:, :, None, None]
+        dz = cz0[:, None] - t_com[..., 2][:, :, None, None]
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)   # (r, b1, B1, bc)
+        mac0_leaf = (MAC_SIZE_SCALE * cr0[:, None]) < (
+            theta * (d - t_r[:, :, None, None]))
+        base = (rej0[:, None] & ~coarse[..., None]
+                & t_live[:, :, None, None])
+        near_keys = jnp.where(base & ~mac0_leaf, gid0[:, None],
+                              big).reshape(r * b1, -1)
+        farleaf_keys = jnp.where(base & mac0_leaf, gid0[:, None],
+                                 big).reshape(r * b1, -1)
         near_idx, near_valid, of_n = _keys_compact(near_keys, near_budget)
-        resid_idx, resid_valid, of_r = _keys_compact(resid_keys, resid_budget)
-        # A clipped candidate hides up to b children from BOTH classes; a
-        # clipped block-near leaf is lost for all b1 member leaves.
-        of = (of2 * (b2 * b1) + of1 * b1 + of_bn * b1 + of_n + of_r
+        resid_idx, resid_valid, of_r = _keys_compact(
+            jnp.concatenate([farleaf_keys, resid2_keys], axis=1),
+            resid_budget)
+        # A clipped candidate hides up to b children from BOTH classes.
+        of = (of2 * (b2 * b1) + of1 * b1 + of_n + of_r
               + of_f).astype(jnp.int32)
         return (near_idx, near_valid, far_idx, far_valid, resid_idx,
                 resid_valid, of)
 
     if row_block <= 0:
         # Dominant per-block-row temporaries: the stage B/C packed-child
-        # gathers (cand * 128 lanes) and stage D's leaf-geometry gather
-        # (bnear * 128 lanes) + (b1, bnear) MAC planes.
+        # gathers (cand * 128 lanes) and stage D's (b1, B1, bc) per-leaf
+        # MAC tensors (~6 live f32 arrays).
         per_row = 4 * max(max(cand1_budget, cand2_budget) * 128,
-                          bnear_budget * (128 + 8 * b1))
+                          6 * b1 * cand1_budget * b1)
         row_block = max(8, (1 << 28) // max(per_row, 1))
     block = n_blocks
     while block > row_block or (block > 1 and n_blocks % block):
@@ -906,26 +933,20 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
     tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
     if refine == "block":
         b1 = n_leaves // tree.com[1].shape[0]
-        # The residual (leaf-far minus block-far) inherits the fat-GROUP
-        # tail: a sparse-region block's radius makes its MAC reject almost
-        # everything, so its members' residuals are their whole leaf-far
-        # lists (measured N=1M/256: resid mean 514, p90 848, p99 4004).
-        # Budget for the tail; the skew is handled at EVAL time by the
-        # count-binned far kernel (fat rows keep the full width, the rest
-        # gather only resid_bin columns).
+        # Per-leaf residual lists carry the fat-GROUP tail (a sparse
+        # block's MAC rejects nearly everything), but stage D keeps
+        # full-reject subtrees COARSE (l1-granular), bounding the tail at
+        # ~1/b1 of the old leaf-forced form. Budget for it; the remaining
+        # skew is handled at EVAL time by the count-binned far kernel (the
+        # fat eighth of rows keeps the full width).
         resid_budget = min(n_leaves, near_budget + far0_budget)
-        # Bin width ~ the non-fat rows (mean ~250 at N=8M): the fat eighth
-        # of rows keeps the full budget, so this only clips (and counts) if
-        # more than n_slice/8 rows exceed it.
         resid_bin = min(resid_budget, max(512, 2 * near_budget))
-        bnear_budget = min(n_leaves, near_budget + resid_budget)
         (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
          nodes_all, overflow) = build_interaction_lists_block(
             tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
             n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
             cand2_budget=cand_budgets[0], cand1_budget=cand_budgets[1],
-            bnear_budget=bnear_budget, resid_budget=resid_budget,
-            dtype=dtype)
+            resid_budget=resid_budget, dtype=dtype)
         # Block-shared far list: (b1*G)-lane target tiles, one row per block.
         # Both far evals are count-binned on TPU: the list budgets cover the
         # fat-row maxima, but only the longest eighth of rows gathers the
@@ -1212,9 +1233,8 @@ def tree_stats(pos, mass, cfg) -> dict:
             tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
             n_slice=n_leaves, near_budget=cfg.bh_near_budget,
             far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
-            cand1_budget=cands[1],
-            bnear_budget=min(n_leaves, cfg.bh_near_budget + resid_budget),
-            resid_budget=resid_budget, dtype=pos_s.dtype)
+            cand1_budget=cands[1], resid_budget=resid_budget,
+            dtype=pos_s.dtype)
         out |= {
             "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
             "far_nodes_per_block": pct(jnp.sum(fv, axis=1)),

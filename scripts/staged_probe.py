@@ -117,11 +117,10 @@ def main():
                                            stop_level=2, target_level=1))
         t_tb, (fmb, rejb) = timeit(trav_b, tree, iters=args.iters)
         rb = min(n_leaves, args.near + args.far)
-        bn = min(n_leaves, args.near + rb)
         bl = jax.jit(functools.partial(
             bh.build_interaction_lists_block, theta=args.theta, start_leaf=0,
             n_slice=n_leaves, near_budget=args.near, far_budget=args.far,
-            cand2_budget=cands[0], cand1_budget=cands[1], bnear_budget=bn,
+            cand2_budget=cands[0], cand1_budget=cands[1],
             resid_budget=rb, dtype=pos_s.dtype))
         t_bl, (nib, nvb, fib, fvb, rib, rvb, _, ofb) = timeit(
             bl, tree, fmb, rejb, iters=args.iters)

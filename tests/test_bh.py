@@ -697,7 +697,7 @@ def test_block_lists_cover_every_pair_exactly_once():
         tree, far, rej2, theta=0.5, start_leaf=0, n_slice=n_leaves,
         near_budget=n_leaves, far_budget=2 * n_leaves,
         cand2_budget=widths[2], cand1_budget=widths[1],
-        bnear_budget=n_leaves, resid_budget=n_leaves, dtype=jnp.float64)
+        resid_budget=2 * n_leaves, dtype=jnp.float64)
     assert int(of) == 0
     w = np.zeros(sum(widths), np.int64)
     off = 0
@@ -705,7 +705,9 @@ def test_block_lists_cover_every_pair_exactly_once():
         w[off:off + wk] = n_leaves // wk
         off += wk
     far_cover = (w[np.asarray(fi)] * np.asarray(fv)).sum(1)   # per block
-    cover = (np.asarray(nv).sum(1) + np.asarray(rv).sum(1)
+    # residual ids are leaves OR level-1 nodes (hierarchical stage D)
+    cover = (np.asarray(nv).sum(1)
+             + (w[np.asarray(ri)] * np.asarray(rv)).sum(1)
              + np.repeat(far_cover, b1))
     np.testing.assert_array_equal(cover, n_leaves)
     # near ids ascending per row (kernel segment-bounds requirement)
