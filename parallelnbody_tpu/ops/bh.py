@@ -1023,6 +1023,9 @@ def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
     leaf children to near/far0, so cand1 ~ (near + far) / 8; level-2
     candidates parent both the far1 accepts and the refined level-1 nodes,
     so cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
+    if refine not in ("dense", "staged", "block"):
+        raise ValueError(f"refine must be dense|staged|block (resolved), "
+                         f"got {refine!r}")
     if refine in ("staged", "block") and n_levels < 3:
         refine = "dense"
     c2, c1 = cand_budgets
