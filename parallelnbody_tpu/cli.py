@@ -188,12 +188,19 @@ def cmd_run(args) -> int:
         # forces, so surface the overflow before a long run (see ops/bh.py).
         from parallelnbody_tpu.ops.bh import bh_accel, use_pallas_bh
 
+        # The audit must run the SAME refinement mode as the run: the dense
+        # plane is a memory wall at the leaf counts the staged mode exists
+        # for (65k leaves = a ~17 GB sort buffer), and the far-budget
+        # semantics differ (dense: leaf accepts only; staged/block: all far
+        # classes in one list).
         _, _, ovf = bh_accel(
             state.pos, state.mass, leaf_size=cfg.resolve_bh_leaf_size(),
             theta=cfg.theta, g=cfg.g, softening=cfg.softening,
             near_budget=cfg.bh_near_budget, far0_budget=cfg.bh_far_budget,
             use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
-            multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
+            multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
+            refine=cfg.resolve_bh_refine(),
+            cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget))
         ovf = int(jax.device_get(ovf))
         if ovf and not args.quiet:
             print(f"WARNING: Barnes-Hut budgets clipped {ovf} interaction-list "
@@ -302,7 +309,9 @@ def cmd_run(args) -> int:
                    path=out)
 
     if args.render_every:
-        render_frame(state, 0)
+        # Label by the absolute step so a --resume continues the frame
+        # sequence instead of overwriting frame_000000.png.
+        render_frame(state, int(state.step))
 
     runs_invalid = False
     interrupted = False

@@ -334,6 +334,57 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
 
 
 # ------------------------------------------------- staged (hierarchical) lists
+def _node_table(tree: BHTree, k: int, dtype):
+    """(n_k, 4|9) [com, mass(, quad)] rows of level k, the far kernels'
+    multipole format."""
+    cols = [tree.com[k], tree.mass[k][:, None]]
+    if tree.quad[0] is not None:
+        cols.append(tree.quad[k])
+    return jnp.concatenate(cols, axis=1).astype(dtype)
+
+
+def _nodes_all(tree: BHTree, dtype):
+    """All levels' node tables stacked: row offsets per _level_offsets."""
+    return jnp.concatenate(
+        [_node_table(tree, k, dtype) for k in range(tree.n_levels)], axis=0)
+
+
+def _level_offsets(widths):
+    """Global-id offset of each level's rows in _nodes_all."""
+    offs = [0]
+    for k in range(1, len(widths)):
+        offs.append(offs[-1] + widths[k - 1])
+    return offs
+
+
+def _upper_keys(far_masks, offs, n_levels):
+    """Accepted upper-level (k >= 2) nodes as global-id key columns
+    (INT32_MAX = invalid), ready for a _keys_compact far sort."""
+    big = jnp.iinfo(jnp.int32).max
+    return jnp.concatenate(
+        [jnp.where(far_masks[k],
+                   offs[k] + jax.lax.broadcasted_iota(
+                       jnp.int32, far_masks[k].shape, 1), big)
+         for k in range(2, n_levels)], axis=1)
+
+
+def _map_row_blocks(fn, args, n_rows, row_block):
+    """Apply fn over row blocks via lax.map to bound gathered temporaries.
+    Picks the largest power-of-two divisor of n_rows <= row_block (falls
+    back to one shot); flattens mapped outputs back to full-row leading
+    dims (scalar-per-block outputs come back as (n_blocks,) — sum them)."""
+    block = n_rows
+    while block > row_block or (block > 1 and n_rows % block):
+        block = block // 2 if block % 2 == 0 else 1
+    if block == n_rows:
+        return fn(args)
+    nb = n_rows // block
+    out = jax.lax.map(
+        fn, tuple(a.reshape((nb, block) + a.shape[1:]) for a in args))
+    return tuple(o.reshape((-1,) + o.shape[2:]) if o.ndim > 1 else o
+                 for o in out)
+
+
 def _child_pack(tree: BHTree, k: int):
     """Packed child-geometry row table for refining level-k nodes: row j of
     the (n_k, 5*b) table holds node j's b children at level k-1 as
@@ -414,11 +465,7 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
     widths = [c.shape[0] for c in tree.com]
     assert n_levels >= 3, "staged refinement needs >= 3 tree levels"
     big = jnp.iinfo(jnp.int32).max
-
-    # Global-id offset of each level in nodes_all = [leaves | l1 | l2 | ...].
-    offs = [0]
-    for k in range(1, n_levels):
-        offs.append(offs[-1] + widths[k - 1])
+    offs = _level_offsets(widths)
 
     pack2, b2 = _child_pack(tree, 2)
     pack1, b1 = _child_pack(tree, 1)
@@ -428,13 +475,7 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
     tgt_com = jax.lax.dynamic_slice_in_dim(tree.com[0], start_leaf, n_slice, 0)
     tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf, n_slice, 0)
     tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
-
-    # Upper accepted nodes (levels >= 2) as global-id key columns.
-    up_keys = jnp.concatenate(
-        [jnp.where(far_masks[k],
-                   offs[k] + jax.lax.broadcasted_iota(
-                       jnp.int32, far_masks[k].shape, 1), big)
-         for k in range(2, n_levels)], axis=1)
+    up_keys = _upper_keys(far_masks, offs, n_levels)
 
     def block_fn(args):
         rej2, upk, t_com, t_r, t_m = args
@@ -468,33 +509,12 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
         # ~256 MB of gathered (R, B1, 128-lane) temporaries per block.
         per_row = max(cand1_budget, cand2_budget) * 128 * 4
         row_block = max(8, (1 << 28) // max(per_row, 1))
-    block = n_slice
-    while block > row_block or (block > 1 and n_slice % block):
-        block = block // 2 if block % 2 == 0 else 1
-    args = (rejects_l2, up_keys, tgt_com, tgt_r, tgt_m)
-    if block == n_slice:
-        out = block_fn(args)
-    else:
-        nb = n_slice // block
-        out = jax.lax.map(
-            block_fn,
-            tuple(a.reshape((nb, block) + a.shape[1:]) for a in args))
-        out = tuple(o.reshape((-1,) + o.shape[2:]) if o.ndim > 1 else o
-                    for o in out)
-    near_idx, near_valid, far_idx, far_valid, of = out
+    near_idx, near_valid, far_idx, far_valid, of = _map_row_blocks(
+        block_fn, (rejects_l2, up_keys, tgt_com, tgt_r, tgt_m), n_slice,
+        row_block)
     overflow = jnp.sum(of).astype(jnp.int32)
-
-    with_quad = tree.quad[0] is not None
-
-    def node_table(k):
-        cols = [tree.com[k], tree.mass[k][:, None]]
-        if with_quad:
-            cols.append(tree.quad[k])
-        return jnp.concatenate(cols, axis=1).astype(dtype)
-
-    nodes_all = jnp.concatenate(
-        [node_table(k) for k in range(n_levels)], axis=0)
-    return near_idx, near_valid, far_idx, far_valid, nodes_all, overflow
+    return (near_idx, near_valid, far_idx, far_valid,
+            _nodes_all(tree, dtype), overflow)
 
 
 def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
@@ -539,10 +559,7 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
     assert n_slice % b1 == 0, (n_slice, b1)
     n_blocks = n_slice // b1
     big = jnp.iinfo(jnp.int32).max
-
-    offs = [0]
-    for k in range(1, n_levels):
-        offs.append(offs[-1] + widths[k - 1])
+    offs = _level_offsets(widths)
 
     pack2, b2 = _child_pack(tree, 2)
     pack1, _ = _child_pack(tree, 1)
@@ -565,12 +582,7 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
     tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf,
                                          n_slice, 0)
     tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
-
-    up_keys = jnp.concatenate(
-        [jnp.where(far_masks[k],
-                   offs[k] + jax.lax.broadcasted_iota(
-                       jnp.int32, far_masks[k].shape, 1), big)
-         for k in range(2, n_levels)], axis=1)
+    up_keys = _upper_keys(far_masks, offs, n_levels)
 
     def block_fn(args):
         (rej2, upk, b_com, b_r, b_m, l_com, l_r, l_m) = args
@@ -644,37 +656,16 @@ def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
         per_row = 4 * max(max(cand1_budget, cand2_budget) * 128,
                           6 * b1 * cand1_budget * b1)
         row_block = max(8, (1 << 28) // max(per_row, 1))
-    block = n_blocks
-    while block > row_block or (block > 1 and n_blocks % block):
-        block = block // 2 if block % 2 == 0 else 1
-    args = (rejects_l2, up_keys, blk_com, blk_r, blk_m,
-            tgt_com.reshape(n_blocks, b1, 3),
-            tgt_r.reshape(n_blocks, b1), tgt_m.reshape(n_blocks, b1))
-    if block == n_blocks:
-        out = block_fn(args)
-    else:
-        nb = n_blocks // block
-        out = jax.lax.map(
-            block_fn,
-            tuple(a.reshape((nb, block) + a.shape[1:]) for a in args))
-        out = tuple(o.reshape((-1,) + o.shape[2:]) if o.ndim > 1 else o
-                    for o in out)
     (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
-     of) = out
+     of) = _map_row_blocks(
+        block_fn,
+        (rejects_l2, up_keys, blk_com, blk_r, blk_m,
+         tgt_com.reshape(n_blocks, b1, 3),
+         tgt_r.reshape(n_blocks, b1), tgt_m.reshape(n_blocks, b1)),
+        n_blocks, row_block)
     overflow = jnp.sum(of).astype(jnp.int32)
-
-    with_quad = tree.quad[0] is not None
-
-    def node_table(k):
-        cols = [tree.com[k], tree.mass[k][:, None]]
-        if with_quad:
-            cols.append(tree.quad[k])
-        return jnp.concatenate(cols, axis=1).astype(dtype)
-
-    nodes_all = jnp.concatenate(
-        [node_table(k) for k in range(n_levels)], axis=0)
     return (near_idx, near_valid, far_idx, far_valid, resid_idx,
-            resid_valid, nodes_all, overflow)
+            resid_valid, _nodes_all(tree, dtype), overflow)
 
 
 # ----------------------------------------------------------------- near field
@@ -817,16 +808,9 @@ def build_interaction_lists(tree, far_masks, rejects_l1, *, theta, start_leaf,
 
     # Upper-level accepted nodes: the dense mask is narrow (node counts
     # shrink 8x per level), so it serves directly as a full-width list.
-    with_quad = tree.quad[0] is not None
-
-    def node_table(k):
-        cols = [tree.com[k], tree.mass[k][:, None]]
-        if with_quad:
-            cols.append(tree.quad[k])
-        return jnp.concatenate(cols, axis=1).astype(dtype)
-
     nodes_up = jnp.concatenate(
-        [node_table(k) for k in range(1, tree.n_levels)], axis=0)
+        [_node_table(tree, k, dtype) for k in range(1, tree.n_levels)],
+        axis=0)
     n_up = nodes_up.shape[0]
     # far_masks arrive pre-sliced to this target window (traverse slice).
     up_mask = jnp.concatenate(
@@ -838,7 +822,7 @@ def build_interaction_lists(tree, far_masks, rejects_l1, *, theta, start_leaf,
     # compaction cannot overflow.
     cols_up = jax.lax.broadcasted_iota(jnp.int32, up_mask.shape, 1)
     up_idx, up_valid, _ = _row_compact(up_mask, cols_up, n_up)
-    leaf_nodes = node_table(0)
+    leaf_nodes = _node_table(tree, 0, dtype)
     return (near_idx, near_valid, far0_idx, far0_valid, up_idx, up_valid,
             nodes_up, leaf_nodes, overflow)
 

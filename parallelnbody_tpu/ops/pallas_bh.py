@@ -197,9 +197,15 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
     # 1516 at unroll 2, at the price of a longer compile) — EXCEPT with the
     # potential accumulator on, whose extra (G, G) tile per entry pushes the
     # stack to 18.6 M (the default-config budget audit at N>=4M OOM'd in
-    # compile); unroll 2 fits that case.
+    # compile); unroll 2 fits that case. The VMEM-resident table segment
+    # shares the same scoped budget: with the 8 MB segments used for big
+    # tables, G=256 + potential + unroll 8 is 17.3 M — drop to 4 there too.
     g_rows = xi.shape[0]
-    unroll = 8 if g_rows <= 256 else (4 if not compute_pot else 2)
+    seg_bytes = table_ref.shape[0] * 4 * table_ref.shape[2] * 4
+    if g_rows <= 256:
+        unroll = 4 if (compute_pot and seg_bytes > (4 << 20)) else 8
+    else:
+        unroll = 4 if not compute_pot else 2
 
     def one(k):
         """One list entry's weighted (G, G) tile contributions. k past hi is
