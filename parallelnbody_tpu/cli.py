@@ -200,7 +200,8 @@ def cmd_run(args) -> int:
             use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
             multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
             refine=cfg.resolve_bh_refine(),
-            cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget))
+            cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
+            far_mode=cfg.bh_far_mode)
         ovf = int(jax.device_get(ovf))
         if ovf and not args.quiet:
             print(f"WARNING: Barnes-Hut budgets clipped {ovf} interaction-list "

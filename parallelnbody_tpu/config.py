@@ -107,6 +107,15 @@ class SimConfig:
                                    # target (0 = auto from the list budgets)
     bh_cand2_budget: int = 0       # staged: level-2 reject candidates per
                                    # target (0 = auto)
+    bh_far_mode: str = "auto"      # far-field evaluation: "octet" = one
+                                   # (octet_id<<8)|child_mask entry per
+                                   # 8-sibling group, evaluated from a
+                                   # VMEM-resident table (zero HBM gather;
+                                   # bh_far_budget then counts octets, for
+                                   # which a per-node budget is always
+                                   # enough), "gather" = per-node lists +
+                                   # gathered-chunk kernels, "auto" = octet
+                                   # (block refine always uses gather)
     bh_pair_slack: float = 2.0     # distributed BH: all_to_all per-rank-pair
                                    # exchange capacity, x (n_local / P).
                                    # Exchange overflow (reported, and treated
@@ -147,6 +156,10 @@ class SimConfig:
             raise ValueError(
                 f"bh_refine must be auto|dense|staged|block, "
                 f"got {self.bh_refine!r}")
+        if self.bh_far_mode not in ("auto", "octet", "gather"):
+            raise ValueError(
+                f"bh_far_mode must be auto|octet|gather, "
+                f"got {self.bh_far_mode!r}")
         if self.n <= 0:
             raise ValueError("n must be positive")
         if self.dt <= 0:

@@ -291,6 +291,20 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
     O(n_slice * n_leaves) bools/f32 (67 MB at N=1M/leaf=256) — the multi-chip
     path keeps n_slice at n_leaves / n_ranks, and leaf_size should scale with
     N to hold n_leaves ~ 4-8k."""
+    near_mask, far_mask = _dense_leaf_masks(tree, rejects_l1, theta,
+                                            start_leaf, n_slice)
+    n_leaves = tree.com[0].shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_slice, n_leaves), 1)
+    near_idx, near_valid, of_n = _row_compact(near_mask, cols, near_budget)
+    far0_idx, far0_valid, of_f = _row_compact(far_mask, cols, far0_budget)
+    return near_idx, near_valid, far0_idx, far0_valid, of_n + of_f
+
+
+def _dense_leaf_masks(tree: BHTree, rejects_l1, theta, start_leaf, n_slice):
+    """The dense leaf-refinement core shared by leaf_interactions and
+    build_interaction_lists_octet: (near_mask, far_mask) (n_slice, n_leaves)
+    bool planes splitting the candidate leaves (children of rejected level-1
+    nodes) by the leaf-level MAC."""
     leaf_com, leaf_r = tree.com[0], tree.radius[0]
     n_leaves = leaf_com.shape[0]
     branch = n_leaves // tree.com[1].shape[0]
@@ -324,13 +338,7 @@ def leaf_interactions(tree: BHTree, rejects_l1, theta: float, *,
     # already has CoM = sentinel, so it never acts as a real target.
     tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
     cand_valid = cand_valid & (tgt_m > 0)[:, None]
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_slice, n_leaves), 1)
-    near_idx, near_valid, of_n = _row_compact(cand_valid & ~mac0, cols,
-                                              near_budget)
-    far0_idx, far0_valid, of_f = _row_compact(cand_valid & mac0, cols,
-                                              far0_budget)
-    return near_idx, near_valid, far0_idx, far0_valid, of_n + of_f
+    return cand_valid & ~mac0, cand_valid & mac0
 
 
 # ------------------------------------------------- staged (hierarchical) lists
@@ -366,6 +374,79 @@ def _upper_keys(far_masks, offs, n_levels):
                    offs[k] + jax.lax.broadcasted_iota(
                        jnp.int32, far_masks[k].shape, 1), big)
          for k in range(2, n_levels)], axis=1)
+
+
+# ------------------------------------------------ octet-masked far lists
+# Every far-accepted node, at any level, lies in an aligned 8-sibling octet
+# of its level's node table (levels are padded to multiples of 8 rows). A
+# far list entry is therefore one int32 key (octet_id << 8) | child_mask
+# instead of up to 8 per-node entries: ~4-8x narrower lists, and the far
+# kernel reads each octet as one (8, 128) tile from a VMEM-RESIDENT table
+# (ops/pallas_bh.py far_octet_pallas) — no budget-wide HBM gather at all
+# (the gather was the dominant far cost: 1467 of 3005 ms at N=8M, r4).
+
+def _octet_offsets(widths):
+    """(offs8, n_octets): octet index of each level's first sibling octet in
+    the 8-aligned combined table (_nodes_all_octet). Level k's node j lives
+    in octet offs8[k] + j // 8, sublane j % 8."""
+    offs8, o = [], 0
+    for w in widths:
+        offs8.append(o)
+        o += -(-w // 8)
+    return offs8, o
+
+
+def _nodes_all_octet(tree: BHTree, dtype):
+    """All levels' node tables stacked with every level padded to a multiple
+    of 8 rows (pad rows are zero: mass 0 and quad 0 contribute nothing even
+    unmasked), so each node's 8-sibling octet is an aligned (8, C) tile —
+    the unit read of the resident-table far kernel."""
+    parts = []
+    for k in range(tree.n_levels):
+        t = _node_table(tree, k, dtype)
+        pad = (-t.shape[0]) % 8
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.zeros((pad, t.shape[1]), dtype)], axis=0)
+        parts.append(t)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _octet_keys_dense(mask, oct_off):
+    """Octet keys from a dense (n, n_k) acceptance mask: one int32 key
+    (octet_id << 8) | child_mask per sibling octet with any accepted member,
+    INT32_MAX elsewhere. Octet ids sit in the high bits, so keys sort
+    ascending by octet and the kernel's segment windows stay contiguous."""
+    n, w = mask.shape
+    pad = (-w) % 8
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros((n, pad), bool)], axis=1)
+    bits = jnp.sum(mask.reshape(n, -1, 8).astype(jnp.int32)
+                   * (1 << jnp.arange(8, dtype=jnp.int32)), axis=2)
+    octs = oct_off + jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    return jnp.where(bits > 0, (octs << 8) | bits,
+                     jnp.iinfo(jnp.int32).max)
+
+
+def _octet_keys_children(mask_b, parent_idx, child_oct_off, b):
+    """Octet keys from per-candidate child masks mask_b (R, B, b) for
+    parents parent_idx (R, B): node j's children are rows [j*b, (j+1)*b) of
+    the child level, i.e. bits (j*b) % 8 .. of octet child_oct_off + j*b//8
+    (b is a power of two <= 8, so a parent's children never straddle an
+    octet). Parents with b < 8 may share an octet — their masks are
+    disjoint, so duplicate-octet entries stay double-count-free."""
+    pw = 1 << jnp.arange(b, dtype=jnp.int32)
+    small = jnp.sum(mask_b.astype(jnp.int32) * pw, axis=2)
+    base = parent_idx * b
+    keys = ((child_oct_off + base // 8) << 8) | (small << (base % 8))
+    return jnp.where(small > 0, keys, jnp.iinfo(jnp.int32).max)
+
+
+def _octet_upper_keys(far_masks, offs8, n_levels, lo_level=2):
+    """Accepted upper-level (k >= lo_level) nodes as octet key columns."""
+    return jnp.concatenate(
+        [_octet_keys_dense(far_masks[k], offs8[k])
+         for k in range(lo_level, n_levels)], axis=1)
 
 
 def _map_row_blocks(fn, args, n_rows, row_block):
@@ -431,7 +512,7 @@ def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta,
 def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
                                    theta, start_leaf, n_slice, near_budget,
                                    far_budget, cand2_budget, cand1_budget,
-                                   dtype, row_block=0):
+                                   dtype, row_block=0, octet_far=False):
     """Hierarchical candidate refinement: the staged replacement for the
     dense (n_slice, n_leaves) leaf plane (VERDICT r2 #2), O(n_slice * budget)
     instead of O(n_slice * n_leaves), so n_leaves can grow past ~8-16k.
@@ -459,23 +540,34 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
 
     row_block: process targets in row blocks via lax.map to bound the
     gathered temporaries (0 = auto ~256 MB); must divide n_slice (auto picks
-    the largest power-of-two divisor)."""
+    the largest power-of-two divisor).
+
+    octet_far=True: the far list is emitted in octet-masked form — keys
+    (octet_id << 8) | child_mask over the 8-aligned combined table
+    (_nodes_all_octet, returned in place of _nodes_all), far_budget counts
+    octet entries, and a clipped far entry counts 8 into the overflow. The
+    stage masks acc1/acc0 are already per-parent child masks, so emission
+    is a bit-pack instead of a flat expand."""
     n_levels = tree.n_levels
     n_leaves = tree.com[0].shape[0]
     widths = [c.shape[0] for c in tree.com]
     assert n_levels >= 3, "staged refinement needs >= 3 tree levels"
     big = jnp.iinfo(jnp.int32).max
     offs = _level_offsets(widths)
+    offs8, n_oct = _octet_offsets(widths)
 
     pack2, b2 = _child_pack(tree, 2)
     pack1, b1 = _child_pack(tree, 1)
     cand2_budget = min(cand2_budget, widths[2])
     cand1_budget = min(cand1_budget, widths[1])
+    if octet_far:
+        far_budget = min(far_budget, n_oct)
 
     tgt_com = jax.lax.dynamic_slice_in_dim(tree.com[0], start_leaf, n_slice, 0)
     tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf, n_slice, 0)
     tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
-    up_keys = _upper_keys(far_masks, offs, n_levels)
+    up_keys = (_octet_upper_keys(far_masks, offs8, n_levels) if octet_far
+               else _upper_keys(far_masks, offs, n_levels))
 
     def block_fn(args):
         rej2, upk, t_com, t_r, t_m = args
@@ -489,18 +581,24 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
 
         acc1, rej1, gid1 = _refine_stage(pack2, b2, c2_idx, c2_valid,
                                          t_com, t_r, theta)
-        far1_keys = jnp.where(acc1, offs[1] + gid1, big).reshape(r, -1)
         c1_idx, c1_valid, of1 = _keys_compact(
             jnp.where(rej1, gid1, big).reshape(r, -1), cand1_budget)
 
         acc0, near0, gid0 = _refine_stage(pack1, b1, c1_idx, c1_valid,
                                           t_com, t_r, theta)
-        far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
         near_keys = jnp.where(near0, gid0, big).reshape(r, -1)
         near_idx, near_valid, of_n = _keys_compact(near_keys, near_budget)
 
+        if octet_far:
+            far1_keys = _octet_keys_children(acc1, c2_idx, offs8[1], b2)
+            far0_keys = _octet_keys_children(acc0, c1_idx, offs8[0], b1)
+        else:
+            far1_keys = jnp.where(acc1, offs[1] + gid1, big).reshape(r, -1)
+            far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
         far_idx, far_valid, of_f = _keys_compact(
             jnp.concatenate([far0_keys, far1_keys, upk], axis=1), far_budget)
+        if octet_far:
+            of_f = of_f * 8  # a clipped octet hides up to 8 nodes
         # A clipped candidate hides up to b children from BOTH classes.
         of = (of2 * (b2 * b1) + of1 * b1 + of_n + of_f).astype(jnp.int32)
         return near_idx, near_valid, far_idx, far_valid, of
@@ -513,8 +611,9 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
         block_fn, (rejects_l2, up_keys, tgt_com, tgt_r, tgt_m), n_slice,
         row_block)
     overflow = jnp.sum(of).astype(jnp.int32)
-    return (near_idx, near_valid, far_idx, far_valid,
-            _nodes_all(tree, dtype), overflow)
+    nodes = _nodes_all_octet(tree, dtype) if octet_far \
+        else _nodes_all(tree, dtype)
+    return (near_idx, near_valid, far_idx, far_valid, nodes, overflow)
 
 
 def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
@@ -752,6 +851,57 @@ def _far0_jnp(tgt_leaves, node_pos, node_mass, g, eps2, guard_zero,
     return g * acc.reshape(n_out, 3), g * pot.reshape(n_out)
 
 
+def _far_octet_jnp(tgt_leaves, nodes8, keys, valid, g, eps2, guard_zero):
+    """Octet-masked far list fallback (non-TPU): expand each key's (8, C)
+    sibling tile with its child mask and reuse the node-list math. Semantics
+    identical to ops/pallas_bh.far_octet_pallas."""
+    n_slice, leaf_size, _ = tgt_leaves.shape
+    budget = keys.shape[1]
+    n_comp = nodes8.shape[1]
+    with_quad = n_comp >= 9
+    tiles8 = nodes8.reshape(-1, 8, n_comp)
+    bit = jnp.arange(8, dtype=jnp.int32)
+
+    acc = jnp.zeros((n_slice * leaf_size, 3), tgt_leaves.dtype)
+    pot = jnp.zeros((n_slice * leaf_size,), tgt_leaves.dtype)
+    chunk = max(1, min(64, budget))
+    for c0 in range(0, budget, chunk):
+        kk = keys[:, c0:c0 + chunk]
+        vv = valid[:, c0:c0 + chunk]
+        t = tiles8[jnp.where(vv, kk >> 8, 0)]        # (Ls, C8, 8, n_comp)
+        mask = (((kk[..., None] >> bit) & 1) > 0) & vv[..., None]
+        npos = t[..., :3].reshape(n_slice, -1, 3)
+        nm = jnp.where(mask, t[..., 3], 0.0).reshape(n_slice, -1)
+        nq = (jnp.where(mask[..., None], t[..., 4:9], 0.0)
+              .reshape(n_slice, -1, 5) if with_quad else None)
+        block = max(1, min(n_slice, (1 << 21) // max(leaf_size * chunk * 8, 1)))
+        while n_slice % block:
+            block -= 1
+        a, ph = _far0_jnp(tgt_leaves, npos, nm, g, eps2, guard_zero,
+                          block, node_quad=nq)
+        acc, pot = acc + a, pot + ph
+    return acc, pot
+
+
+def _eval_far_octet(tgt_leaves, nodes8, keys, valid, *, g, softening,
+                    use_pallas, compute_pot=True):
+    """Evaluate ONE octet-masked far list over the 8-aligned combined node
+    table -> (acc, pot) flat over the window's particles. VMEM-resident
+    Pallas kernel on TPU (zero HBM gather), chunked jnp fallback
+    elsewhere."""
+    eps2 = jnp.asarray(softening, tgt_leaves.dtype) ** 2
+    guard_zero = softening == 0.0
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import far_octet_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return far_octet_pallas(tgt_leaves, nodes8, keys, valid, g,
+                                float(softening), guard_zero,
+                                interpret=interpret, compute_pot=compute_pot)
+    return _far_octet_jnp(tgt_leaves, nodes8, keys, valid, g, eps2,
+                          guard_zero)
+
+
 # ------------------------------------------------------------------- assembly
 def _prepare(pos, mass, *, leaf_size, curve, multipole_order=1, max_levels=12):
     """Pad, curve-sort, and build the monopole pyramid. Returns
@@ -827,6 +977,43 @@ def build_interaction_lists(tree, far_masks, rejects_l1, *, theta, start_leaf,
             nodes_up, leaf_nodes, overflow)
 
 
+def build_interaction_lists_octet(tree, far_masks, rejects_l1, *, theta,
+                                  start_leaf, n_slice, near_budget,
+                                  far_budget, dtype):
+    """Dense-refinement lists in octet-masked far form: ONE combined far
+    list of (octet_id << 8) | child_mask keys covering every far class
+    (upper accepted nodes, levels >= 1, AND leaf-MAC-accepted candidates)
+    over the 8-aligned combined node table (_nodes_all_octet), plus the
+    unchanged near list. far_budget counts OCTET entries — a per-node
+    budget is always sufficient (each octet holds >= 1 accepted node) and
+    the real requirement is ~4-8x smaller (tree_stats reports it).
+
+    Returns (near_idx, near_valid, far_keys, far_valid, nodes8, overflow);
+    overflow counts near clips plus 8x clipped far octets (a clipped octet
+    hides up to 8 nodes)."""
+    near_mask, far_mask = _dense_leaf_masks(tree, rejects_l1, theta,
+                                            start_leaf, n_slice)
+    n_leaves = tree.com[0].shape[0]
+    offs8, n_oct = _octet_offsets([c.shape[0] for c in tree.com])
+    big = jnp.iinfo(jnp.int32).max
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_slice, n_leaves), 1)
+    near_idx, near_valid, of_n = _row_compact(near_mask, cols, near_budget)
+
+    # Phantom (zero-mass) targets: the leaf masks already exclude them via
+    # _dense_leaf_masks; the upper masks must be blanked the same way.
+    tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
+    upk = _octet_upper_keys(far_masks, offs8, tree.n_levels, lo_level=1)
+    upk = jnp.where((tgt_m > 0)[:, None], upk, big)
+    far_keys = jnp.concatenate(
+        [_octet_keys_dense(far_mask, offs8[0]), upk], axis=1)
+    far_keys, far_valid, of_f = _keys_compact(far_keys,
+                                              min(far_budget, n_oct))
+    overflow = (of_n + 8 * of_f).astype(jnp.int32)
+    return (near_idx, near_valid, far_keys, far_valid,
+            _nodes_all_octet(tree, dtype), overflow)
+
+
 def _eval_far_list(tgt_leaves, table, idx, valid, *, g, softening,
                    use_pallas, compute_pot=True):
     """Evaluate ONE padded per-target multipole list over `table` node rows
@@ -894,7 +1081,7 @@ def eval_far_lists(tgt_leaves, nodes_up, up_idx, up_valid, leaf_nodes,
 def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
                    n_slice, leaf_size, theta, g, softening, near_budget,
                    far0_budget, use_pallas, compute_pot=True,
-                   refine="dense", cand_budgets=(0, 0)):
+                   refine="dense", cand_budgets=(0, 0), far_mode="gather"):
     """Far+near forces for target leaves [start_leaf, start_leaf + n_slice),
     in sorted order. start_leaf may be traced (multi-chip target partition).
     Returns (acc (n_slice*G, 3), pot (n_slice*G,), overflow).
@@ -906,7 +1093,14 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
     (build_interaction_lists_staged; traverse(stop_level=2)) — O(budget)
     per target instead of O(n_leaves), for large leaf counts. In staged
     mode far0_budget covers ALL far classes (upper + level-1 + leaf) in one
-    list, and cand_budgets = (cand2, cand1) sizes the refinement stages."""
+    list, and cand_budgets = (cand2, cand1) sizes the refinement stages.
+
+    far_mode="octet" (dense and staged refines): the far field is emitted
+    as octet-masked keys and evaluated by the VMEM-resident sibling-tile
+    kernel (far_octet_pallas) — no budget-wide HBM gather, one kernel call
+    for every far class; far0_budget then counts octet entries (a per-node
+    budget is always sufficient). "gather" keeps the gathered-chunk
+    kernels; block refine always uses gather."""
     dtype = pos_s.dtype
     n_pad = pos_s.shape[0]
     n_leaves = n_pad // leaf_size
@@ -969,9 +1163,25 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
             tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
             n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
             cand2_budget=cand_budgets[0], cand1_budget=cand_budgets[1],
+            dtype=dtype, octet_far=far_mode == "octet")
+        if far_mode == "octet":
+            acc, pot = _eval_far_octet(
+                tgt_leaves, nodes_all, far_idx, far_valid, g=g,
+                softening=softening, use_pallas=use_pallas,
+                compute_pot=compute_pot)
+        else:
+            acc, pot = _eval_far_list(
+                tgt_leaves, nodes_all, far_idx, far_valid, g=g,
+                softening=softening, use_pallas=use_pallas,
+                compute_pot=compute_pot)
+    elif far_mode == "octet":
+        (near_idx, near_valid, far_keys, far_valid, nodes8,
+         overflow) = build_interaction_lists_octet(
+            tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
+            n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
             dtype=dtype)
-        acc, pot = _eval_far_list(
-            tgt_leaves, nodes_all, far_idx, far_valid, g=g,
+        acc, pot = _eval_far_octet(
+            tgt_leaves, nodes8, far_keys, far_valid, g=g,
             softening=softening, use_pallas=use_pallas,
             compute_pot=compute_pot)
     else:
@@ -1021,16 +1231,30 @@ def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
     return refine, (c2, c1)
 
 
+def resolve_far_mode(far_mode, refine):
+    """Resolve the far-field evaluation mode. "auto" -> "octet" (the
+    measured-best resident-table sibling-tile path) for dense/staged
+    refines; block refine keeps the gathered-chunk kernels (its block-wide
+    target tiles have no octet form)."""
+    if far_mode not in ("auto", "octet", "gather"):
+        raise ValueError(f"far_mode must be auto|octet|gather, "
+                         f"got {far_mode!r}")
+    if refine == "block":
+        return "gather"
+    return "octet" if far_mode == "auto" else far_mode
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
                      "far0_budget", "use_pallas", "curve", "multipole",
-                     "max_levels", "compute_pot", "refine", "cand_budgets"),
+                     "max_levels", "compute_pot", "refine", "cand_budgets",
+                     "far_mode"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
              curve="hilbert", multipole=1, max_levels=12, compute_pot=True,
-             refine="dense", cand_budgets=(0, 0)):
+             refine="dense", cand_budgets=(0, 0), far_mode="auto"):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
@@ -1052,6 +1276,7 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     n_leaves = n_pad // leaf_size
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
+    far_mode = resolve_far_mode(far_mode, refine)
     far_masks, rejects = traverse(
         tree, theta, stop_level=1 if refine == "dense" else 2,
         target_level=1 if refine == "block" else 0)
@@ -1060,7 +1285,8 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
         start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
         g=g, softening=softening, near_budget=near_budget,
         far0_budget=far0_budget, use_pallas=use_pallas,
-        compute_pot=compute_pot, refine=refine, cand_budgets=cand_budgets)
+        compute_pot=compute_pot, refine=refine, cand_budgets=cand_budgets,
+        far_mode=far_mode)
 
     # Unsort back to the caller's particle order: a 5-operand row sort keyed
     # by the permutation (sorted row i belongs at original index perm[i]).
@@ -1077,7 +1303,8 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
 def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
                           theta, g, softening, near_budget, far0_budget,
                           use_pallas, curve, multipole=1, max_levels=12,
-                          refine="dense", cand_budgets=(0, 0)):
+                          refine="dense", cand_budgets=(0, 0),
+                          far_mode="auto"):
     """Multi-chip building block (replicated tree, partitioned targets):
     compute forces only for the rank-th slice of target leaves.
 
@@ -1105,6 +1332,7 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
         refine = "staged"
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
+    far_mode = resolve_far_mode(far_mode, refine)
     # Traverse only this rank's target window: with the sliced traversal and
     # lists, only _prepare (the sort + pyramid) remains replicated work.
     far_masks, rejects = traverse(
@@ -1115,7 +1343,7 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
         start_leaf=start, n_slice=n_slice, leaf_size=leaf_size,
         theta=theta, g=g, softening=softening, near_budget=near_budget,
         far0_budget=far0_budget, use_pallas=use_pallas, refine=refine,
-        cand_budgets=cand_budgets)
+        cand_budgets=cand_budgets, far_mode=far_mode)
     return acc, pot, perm, overflow
 
 
@@ -1165,6 +1393,7 @@ def tree_stats(pos, mass, cfg) -> dict:
     refine, cands = resolve_refine(
         cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
         tree.n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
+    far_mode = resolve_far_mode(getattr(cfg, "bh_far_mode", "auto"), refine)
 
     def pct(x):
         x = np.asarray(x, np.float64)
@@ -1178,10 +1407,22 @@ def tree_stats(pos, mass, cfg) -> dict:
         "levels": tree.n_levels,
         "level_widths": [int(c.shape[0]) for c in tree.com],
         "theta": cfg.theta, "curve": cfg.bh_curve, "refine": refine,
+        "far_mode": far_mode,
         "leaf_radius": pct(tree.radius[0]),
         "budgets": {"near": cfg.bh_near_budget, "far": cfg.bh_far_budget},
     }
-    if refine == "dense":
+    if refine == "dense" and far_mode == "octet":
+        far_masks, rejects_l1 = traverse(tree, cfg.theta)
+        (_, nv, _, fv, _, overflow) = build_interaction_lists_octet(
+            tree, far_masks, rejects_l1, theta=cfg.theta, start_leaf=0,
+            n_slice=n_leaves, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, dtype=pos_s.dtype)
+        out |= {
+            "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
+            "far_octets_per_target": pct(jnp.sum(fv, axis=1)),
+            "overflow": int(overflow),
+        }
+    elif refine == "dense":
         far_masks, rejects_l1 = traverse(tree, cfg.theta)
         near_idx, near_valid, far0_idx, far0_valid, overflow = \
             leaf_interactions(
@@ -1203,10 +1444,13 @@ def tree_stats(pos, mass, cfg) -> dict:
             tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
             n_slice=n_leaves, near_budget=cfg.bh_near_budget,
             far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
-            cand1_budget=cands[1], dtype=pos_s.dtype)
+            cand1_budget=cands[1], dtype=pos_s.dtype,
+            octet_far=far_mode == "octet")
+        far_key = ("far_octets_per_target" if far_mode == "octet"
+                   else "far_nodes_per_target")
         out |= {
             "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
-            "far_nodes_per_target": pct(jnp.sum(fv, axis=1)),
+            far_key: pct(jnp.sum(fv, axis=1)),
             "l2_rejects_per_target": pct(jnp.sum(rej2, axis=1)),
             "cand_budgets": {"cand2": cands[0], "cand1": cands[1]},
             "overflow": int(overflow),
@@ -1270,6 +1514,7 @@ def make_bh_accel(cfg, mass, overflow_cell=None):
             compute_pot=getattr(cfg, "track_potential", True),
             refine=cfg.resolve_bh_refine(),
             cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
+            far_mode=getattr(cfg, "bh_far_mode", "auto"),
         )
         if overflow_cell is not None:
             # int32 regardless of x64 mode: the counter rides scan carries

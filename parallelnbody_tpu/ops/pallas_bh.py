@@ -366,6 +366,204 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     return _unpack(out, g)
 
 
+def _far_octet_kernel(bnd_ref, key_ref, tgt_ref, table_ref, out_ref, *,
+                      eps2, guard_zero, quad, base, compute_pot=True):
+    """One target leaf (1, 4, G) against its [lo, hi) slice of the
+    octet-masked far list, reading each entry's (8, 128) sibling tile
+    straight out of the VMEM-resident node table segment by dynamic index.
+    An entry key is (octet_id << 8) | child_mask: the 8 sibling node rows
+    [x, y, z, m, Qxx, Qyy, Qxy, Qxz, Qyz, 0...] are evaluated together
+    with mask bits zeroing the non-accepted children via u (every
+    acceleration/potential term scales with u). No HBM gather, no 128-entry
+    count quantization: the fori_loop covers exactly the live entries at an
+    8-node granule.
+
+    Orientation matches _gathered_kernel: source nodes on sublanes, targets
+    on lanes; accumulators stay (8, G) sublane-wide across the whole loop
+    and fold once at the end. The (8, G) temporaries are tiny (4 KB at
+    G=128), so the entry loop is unrolled deeper than the near kernel's —
+    per-entry vector work is only ~8 x G and the scalar bookkeeping (SMEM
+    read, shift/mask, clamped index) would otherwise stall the pipe."""
+    t = pl.program_id(0)
+    lo = bnd_ref[t % 8, 0]
+    hi = bnd_ref[t % 8, 1]
+    tgt = tgt_ref[0]                      # (4, G)
+    xi = tgt[0:1, :]                      # (1, G)
+    yi = tgt[1:2, :]
+    zi = tgt[2:3, :]
+    g_t = xi.shape[1]
+    z8 = jnp.zeros((8, g_t), xi.dtype)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    unroll = 8
+
+    def one(k):
+        """One octet entry's masked (8, G) contributions; k past hi is
+        inert via the mask (clamped read keeps the index in range)."""
+        kk = jnp.minimum(k, hi - 1)
+        key = key_ref[t % 8, kk]
+        src = table_ref[(key >> 8) - base]          # (8, 128) sibling tile
+        mb = ((key >> iota8) & 1) * (k < hi).astype(jnp.int32)
+        xj = src[:, 0:1]                  # (8, 1)
+        yj = src[:, 1:2]
+        zj = src[:, 2:3]
+        mj = src[:, 3:4]
+        dx = xj - xi                      # (8, G)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        u = jax.lax.rsqrt(r2)
+        if guard_zero:
+            u = jnp.where(r2 > 0.0, u, 0.0)
+        u = u * mb.astype(u.dtype)        # child mask: every term scales w/ u
+        mu = mj * u
+        u2 = u * u
+        w = mu * u2
+        cax = w * dx
+        cay = w * dy
+        caz = w * dz
+        csp = mu
+        if quad:
+            qxx = src[:, 4:5]
+            qyy = src[:, 5:6]
+            qxy = src[:, 6:7]
+            qxz = src[:, 7:8]
+            qyz = src[:, 8:9]
+            qzz = -(qxx + qyy)
+            qdx = qxx * dx + qxy * dy + qxz * dz
+            qdy = qxy * dx + qyy * dy + qyz * dz
+            qdz = qxz * dx + qyz * dy + qzz * dz
+            qq = qdx * dx + qdy * dy + qdz * dz
+            u4 = u2 * u2
+            u5 = u4 * u
+            c1 = (2.5 * qq) * (u5 * u2)
+            cax = cax + c1 * dx - u5 * qdx
+            cay = cay + c1 * dy - u5 * qdy
+            caz = caz + c1 * dz - u5 * qdz
+            csp = csp + (0.5 * qq) * u5
+        return cax, cay, caz, csp
+
+    def body(c, carry):
+        ax, ay, az, sp = carry
+        k0 = lo + c * unroll
+        cax, cay, caz, csp = one(k0)
+        for u in range(1, unroll):
+            tx, ty, tz, tp = one(k0 + u)
+            cax = cax + tx
+            cay = cay + ty
+            caz = caz + tz
+            if compute_pot:
+                csp = csp + tp
+        ax = ax + cax
+        ay = ay + cay
+        az = az + caz
+        if compute_pot:
+            sp = sp + csp
+        return ax, ay, az, sp
+
+    n_trips = (hi - lo + unroll - 1) // unroll
+    ax, ay, az, sp = jax.lax.fori_loop(0, n_trips, body, (z8, z8, z8, z8))
+    out_ref[0] = jnp.concatenate(
+        [jnp.sum(ax, axis=0, keepdims=True),
+         jnp.sum(ay, axis=0, keepdims=True),
+         jnp.sum(az, axis=0, keepdims=True),
+         jnp.sum(sp, axis=0, keepdims=True)], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "softening", "guard_zero", "interpret",
+                     "compute_pot", "seg_bytes"),
+)
+def far_octet_pallas(tgt_leaves, nodes8, keys, valid, g, softening,
+                     guard_zero, interpret=False, compute_pot=True,
+                     seg_bytes=0):
+    """Octet-masked multipole far field: targets (Ls, G, 3) against
+    per-target lists of (octet_id << 8) | child_mask keys over the
+    8-row-aligned combined node table nodes8 (ops/bh.py _nodes_all_octet) —
+    (n8, 4) monopole or (n8, 9) quadrupole rows, n8 % 8 == 0.
+
+    The table is kept RESIDENT IN VMEM as (n8/8, 8, 128) sibling tiles,
+    split into segments that fit the ~16 MB budget; the per-target lists
+    are front-packed ascending in octet id (ops/bh.py _keys_compact on the
+    high-bits-octet keys), so each target's entries for a segment form a
+    contiguous [lo, hi) range. This replaces the gathered-chunk far path's
+    budget-wide HBM row gather (the dominant far cost at scale: 1467 of
+    3005 ms at N=8M round 4) with zero gather bytes, and drops the count
+    quantization from 128 rows to one 8-node entry.
+
+    Returns (acc, pot) flat over the window's particles."""
+    budget = keys.shape[1]
+    dtype = tgt_leaves.dtype
+    n_slice, leaf_size, _ = tgt_leaves.shape
+    n_comp = nodes8.shape[1]
+    n8 = nodes8.shape[0]
+    assert n8 % 8 == 0, n8
+    n_oct = n8 // 8
+
+    tab = jnp.zeros((n8, 128), dtype).at[:, :n_comp].set(nodes8)
+    tab = tab.reshape(n_oct, 8, 128)
+
+    # Segments: 4 MB of VMEM each (1024 octets) — the whole combined table
+    # is ~4.6 MB per 8192 leaves, so most configs run 1-2 segments. Big
+    # tables (N=8M leaf 256: ~18 MB) follow the near kernel's measured
+    # rule: 8 MB segments once the table exceeds 32 MB... but unlike the
+    # near kernel the (8, G) stack here is tiny, so 8 MB segments are safe
+    # at any G and we switch earlier (> 8 MB).
+    bytes_per_oct = 8 * 128 * 4
+    if seg_bytes <= 0:
+        seg_bytes = (8 << 20) if n_oct * bytes_per_oct > (8 << 20) \
+            else (4 << 20)
+    oct_per_seg = min(n_oct, max(8, seg_bytes // bytes_per_oct))
+    n_seg = -(-n_oct // oct_per_seg)
+    if n_seg * oct_per_seg > n_oct:
+        pad = n_seg * oct_per_seg - n_oct
+        tab = jnp.concatenate([tab, jnp.zeros((pad, 8, 128), dtype)], axis=0)
+
+    # Per-target segment boundaries over the ascending front-packed keys:
+    # bnd[:, s] = #entries with octet id < s * oct_per_seg.
+    bnds = [jnp.sum(valid & (keys < ((s * oct_per_seg) << 8)), axis=1,
+                    dtype=jnp.int32) for s in range(n_seg + 1)]
+    bnd = jnp.stack(bnds, axis=1)                     # (Ls, n_seg + 1)
+
+    tgt_t = _to_tgt_t(tgt_leaves)
+    eps2 = float(softening) ** 2
+    keys = jnp.where(valid, keys, 0).astype(jnp.int32)
+
+    out = jnp.zeros_like(tgt_t)
+    for s in range(n_seg):
+        table = jax.lax.slice_in_dim(tab, s * oct_per_seg,
+                                     (s + 1) * oct_per_seg, axis=0)
+        pair = jax.lax.slice_in_dim(bnd, s, s + 2, axis=1)   # (Ls, 2)
+        out = out + pl.pallas_call(
+            functools.partial(_far_octet_kernel, eps2=eps2,
+                              guard_zero=guard_zero, quad=n_comp >= 9,
+                              base=s * oct_per_seg, compute_pot=compute_pot),
+            out_shape=jax.ShapeDtypeStruct((n_slice, 4, leaf_size), dtype),
+            grid=(n_slice,),
+            in_specs=[
+                pl.BlockSpec((8, 2), lambda t: (t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, budget), lambda t: (t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((oct_per_seg, 8, 128),
+                             lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 4, leaf_size), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=30 * n_slice * (budget // n_seg + 1) * 8 * leaf_size,
+                bytes_accessed=oct_per_seg * bytes_per_oct
+                + n_slice * leaf_size * 32,
+                transcendentals=n_slice * (budget // n_seg + 1) * 8
+                * leaf_size,
+            ),
+            interpret=interpret,
+        )(pair, keys, tgt_t, table)
+    return _unpack(out, g)
+
+
 _FAR_S_IN = 128  # sub-tile height: count skipping quantum inside the kernel
 
 

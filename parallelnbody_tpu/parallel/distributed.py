@@ -58,8 +58,10 @@ from parallelnbody_tpu.ops.morton import morton_encode
 from parallelnbody_tpu.ops.hilbert import hilbert_encode
 from parallelnbody_tpu.ops.bh import (
     build_tree, build_upper, traverse, build_interaction_lists,
-    build_interaction_lists_staged, resolve_refine, eval_far_lists,
-    _eval_far_list, _near_field_jnp, use_pallas_bh, domain_cube,
+    build_interaction_lists_staged, build_interaction_lists_octet,
+    resolve_refine, resolve_far_mode, eval_far_lists,
+    _eval_far_list, _eval_far_octet, _near_field_jnp, use_pallas_bh,
+    domain_cube,
 )
 from parallelnbody_tpu.parallel.mesh import RING_AXIS
 
@@ -226,6 +228,7 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
         "staged" if refine == "block" else refine,
         (cfg.bh_cand2_budget, cfg.bh_cand_budget), tree.n_levels,
         cfg.bh_near_budget, cfg.bh_far_budget)
+    far_mode = resolve_far_mode(getattr(cfg, "bh_far_mode", "auto"), refine)
     start = rank * n_leaf_loc
     tgt_leaves = pos_own.reshape(n_leaf_loc, leaf_size, 3)
     if refine == "staged":
@@ -236,9 +239,28 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
             tree, far_masks, rej2, theta=cfg.theta, start_leaf=start,
             n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
             far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
-            cand1_budget=cands[1], dtype=dtype)
-        acc, pot = _eval_far_list(
-            tgt_leaves, nodes_all, far_idx, far_valid, g=cfg.g,
+            cand1_budget=cands[1], dtype=dtype,
+            octet_far=far_mode == "octet")
+        if far_mode == "octet":
+            acc, pot = _eval_far_octet(
+                tgt_leaves, nodes_all, far_idx, far_valid, g=cfg.g,
+                softening=softening, use_pallas=use_pallas,
+                compute_pot=compute_pot)
+        else:
+            acc, pot = _eval_far_list(
+                tgt_leaves, nodes_all, far_idx, far_valid, g=cfg.g,
+                softening=softening, use_pallas=use_pallas,
+                compute_pot=compute_pot)
+    elif far_mode == "octet":
+        far_masks, rejects_l1 = traverse(tree, cfg.theta, start_leaf=start,
+                                         n_slice=n_leaf_loc)
+        (near_idx, near_valid, far_keys, far_valid, nodes8,
+         of_lists) = build_interaction_lists_octet(
+            tree, far_masks, rejects_l1, theta=cfg.theta, start_leaf=start,
+            n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, dtype=dtype)
+        acc, pot = _eval_far_octet(
+            tgt_leaves, nodes8, far_keys, far_valid, g=cfg.g,
             softening=softening, use_pallas=use_pallas,
             compute_pot=compute_pot)
     else:

@@ -71,6 +71,7 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
         multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
         refine=cfg.resolve_bh_refine(),
         cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
+        far_mode=getattr(cfg, "bh_far_mode", "auto"),
     )
     acc_g = jax.lax.all_gather(acc_sl, axis, axis=0, tiled=True)
     pot_g = jax.lax.all_gather(pot_sl, axis, axis=0, tiled=True)

@@ -769,3 +769,119 @@ def test_padding_target_leaves_get_empty_lists():
         dtype=jnp.float64)
     assert int(jnp.sum(nv[phantom])) == 0
     assert int(jnp.sum(fv[phantom])) == 0
+
+
+# ------------------------------------------------- octet-masked far field
+def _octet_cover_counts(tree, far_keys, far_valid):
+    """Per-target count of source LEAVES covered by an octet far list:
+    each set mask bit of a level-k octet entry covers n_leaves/n_k leaves."""
+    from parallelnbody_tpu.ops.bh import _octet_offsets
+
+    widths = [c.shape[0] for c in tree.com]
+    offs8, n_oct = _octet_offsets(widths)
+    n_leaves = widths[0]
+    keys = np.where(np.asarray(far_valid), np.asarray(far_keys), -1)
+    octs = keys >> 8
+    bits = keys & 0xFF
+    nset = np.zeros_like(bits)
+    for b in range(8):
+        nset += (bits >> b) & 1
+    cover = np.zeros(keys.shape[0], np.int64)
+    for k in range(tree.n_levels):
+        lo, hi = offs8[k], offs8[k] + (-(-widths[k] // 8))
+        in_level = (octs >= lo) & (octs < hi) & (keys >= 0)
+        cover += (nset * in_level).sum(1) * (n_leaves // widths[k])
+    return cover
+
+
+def test_octet_lists_cover_every_pair_exactly_once():
+    """The octet-masked far list + near list must cover every (target leaf,
+    source leaf) pair exactly once, in dense and staged refinement."""
+    from parallelnbody_tpu.ops.bh import (
+        build_interaction_lists_octet, build_interaction_lists_staged)
+
+    pos, _, mass = _plummer(4096, seed=11)
+    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
+    perm = jnp.argsort(keys)
+    tree = build_tree(pos[perm], mass[perm], 32,
+                      jnp.asarray([10.0, 10.0, 10.0]))
+    n_leaves = tree.com[0].shape[0]
+
+    far, rej1 = traverse(tree, theta=0.55)
+    ni, nv, fk, fv, nodes8, of = build_interaction_lists_octet(
+        tree, far, rej1, theta=0.55, start_leaf=0, n_slice=n_leaves,
+        near_budget=n_leaves, far_budget=n_leaves, dtype=jnp.float32)
+    assert int(of) == 0
+    assert nodes8.shape[0] % 8 == 0
+    cover = _octet_cover_counts(tree, fk, fv) + \
+        np.asarray(jnp.sum(nv, 1), np.int64)
+    np.testing.assert_array_equal(cover, n_leaves)
+
+    far2, rej2 = traverse(tree, 0.55, stop_level=2)
+    ni, nv, fk, fv, nodes8, of = build_interaction_lists_staged(
+        tree, far2, rej2, theta=0.55, start_leaf=0, n_slice=n_leaves,
+        near_budget=n_leaves, far_budget=n_leaves, cand2_budget=64,
+        cand1_budget=256, dtype=jnp.float32, octet_far=True)
+    assert int(of) == 0
+    cover = _octet_cover_counts(tree, fk, fv) + \
+        np.asarray(jnp.sum(nv, 1), np.int64)
+    np.testing.assert_array_equal(cover, n_leaves)
+
+
+@pytest.mark.parametrize("refine", ["dense", "staged"])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_octet_far_matches_gather(refine, use_pallas):
+    """far_mode="octet" evaluates the identical interaction set as
+    "gather" — both Pallas (interpret) and jnp paths — so the forces must
+    agree to f32 summation-order noise."""
+    pos, _, mass = _plummer(4096, seed=4)
+    kw = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
+              near_budget=128, far0_budget=512, multipole=2,
+              use_pallas=use_pallas, refine=refine)
+    ag, pg, og = bh_accel(pos, mass, far_mode="gather", **kw)
+    ao, po, oo = bh_accel(pos, mass, far_mode="octet", **kw)
+    assert int(og) == 0 and int(oo) == 0
+    ra = float(jnp.linalg.norm(ag - ao) / jnp.linalg.norm(ag))
+    rp = float(jnp.linalg.norm(pg - po) / jnp.linalg.norm(pg))
+    assert ra < 1e-5, ra
+    assert rp < 1e-5, rp
+
+
+def test_octet_far_overflow_counted():
+    """A too-small octet far budget must be COUNTED (8 per clipped octet),
+    never silent (module contract, ops/bh.py)."""
+    pos, _, mass = _plummer(4096, seed=6)
+    kw = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
+              near_budget=256, use_pallas=False, far_mode="octet")
+    _, _, of_ok = bh_accel(pos, mass, far0_budget=512, **kw)
+    _, _, of_clip = bh_accel(pos, mass, far0_budget=8, **kw)
+    assert int(of_ok) == 0
+    assert int(of_clip) > 0
+
+
+def test_far_octet_kernel_matches_jnp():
+    """far_octet_pallas (interpret) against _far_octet_jnp on a hand-rolled
+    octet list with mixed masks, multi-segment path forced."""
+    from parallelnbody_tpu.ops.bh import (_prepare, traverse as trav,
+                                          build_interaction_lists_octet,
+                                          _far_octet_jnp)
+    from parallelnbody_tpu.ops.pallas_bh import far_octet_pallas
+
+    pos, _, mass = _plummer(4096, seed=9)
+    pos_s, mass_s, _, tree, _, n_pad = _prepare(
+        pos, mass, leaf_size=32, curve="hilbert", multipole_order=2)
+    n_leaves = n_pad // 32
+    far, rej1 = trav(tree, 0.6)
+    ni, nv, fk, fv, nodes8, of = build_interaction_lists_octet(
+        tree, far, rej1, theta=0.6, start_leaf=0, n_slice=n_leaves,
+        near_budget=512, far_budget=1024, dtype=jnp.float32)
+    tgt = pos_s.reshape(n_leaves, 32, 3)
+    a_j, p_j = _far_octet_jnp(tgt, nodes8, fk, fv, 1.0,
+                              jnp.asarray(0.02 ** 2), False)
+    # Tiny seg_bytes forces the multi-segment resident-table path.
+    a_p, p_p = far_octet_pallas(tgt, nodes8, fk, fv, 1.0, 0.02, False,
+                                interpret=True, seg_bytes=1 << 14)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_j),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_j),
+                               rtol=2e-4, atol=2e-5)
