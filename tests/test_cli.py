@@ -237,7 +237,7 @@ def test_bench_sharded(capsys, eight_devices):
 def test_tree_stats_staged_and_block(capsys):
     """`tree` audits whichever refinement mode the config resolves to, so
     budget tuning covers the staged/block paths too."""
-    for mode, extra_key in (("staged", "far_nodes_per_target"),
+    for mode, extra_key in (("staged", "far_octets_per_target"),
                             ("block", "far_nodes_per_block")):
         rc = main(["tree", "--n", "16384", "--ic", "plummer",
                    "--bh-leaf-size", "32", "--theta", "0.5",
