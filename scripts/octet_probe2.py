@@ -82,6 +82,28 @@ def main():
              near=1024, far=2048, iters=3)
         case(pos, mass, leaf=128, refine="staged", far_mode="octet",
              near=1024, far=2048, iters=3)
+    elif args.set == "leaf4m":
+        # Post-octet leaf retune at scale: the leaf-256 autos at 4M+ were
+        # tuned when the far field paid a budget-wide HBM gather. Octet
+        # makes far entries ~3x cheaper, so the 2.7x near-pair saving of
+        # leaf 128 may now win despite 2x the leaves.
+        pos, mass = get_state(1 << 22)
+        case(pos, mass, leaf=128, refine="staged", far_mode="octet",
+             near=2048, far=2560, iters=3)
+        case(pos, mass, leaf=256, refine="staged", far_mode="octet",
+             iters=3)
+    elif args.set == "leaf8m":
+        pos, mass = get_state(1 << 23)
+        case(pos, mass, leaf=128, refine="staged", far_mode="octet",
+             near=2048, far=2560, iters=3)
+        case(pos, mass, leaf=256, refine="staged", far_mode="octet",
+             iters=3)
+    elif args.set == "leafgal":
+        pos, mass = get_state(1 << 21, ic="galaxy_collision")
+        case(pos, mass, leaf=128, refine="staged", far_mode="octet",
+             near=3072, far=2560, iters=3)
+        case(pos, mass, leaf=256, refine="staged", far_mode="octet",
+             near=3584, far=2816, iters=3)
 
 
 if __name__ == "__main__":
