@@ -1,15 +1,19 @@
-"""Headline benchmark: pairwise interactions/sec/chip on the all-pairs kernel.
+"""Headline benchmark: pairwise interactions/sec/chip on the all-pairs kernel,
+plus the Barnes-Hut N=1M north star (ms/step AND measured rms force error).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"vs_chip_roofline"}. vs_baseline is measured against the BASELINE.md
-north-star target of 1e12 pairwise interactions/sec/chip (the reference
-publishes no numbers — SURVEY.md §6). vs_chip_roofline carries the
-chip-bound context: the kernel is VPU-bound at ~16 elementwise ops/pair,
-and the v5e VPU elementwise roofline was measured at ~2.9e12 op/s by an
-incremental-op experiment (DESIGN.md §2), so this chip's ceiling for any
-direct-sum-accuracy scheme is ~1.8e11 pairs/s — the measured five-variant
-MXU table (DESIGN.md §2) shows the 1e12 target is unreachable on v5e at
-direct-sum accuracy, not a software gap.
+"vs_chip_roofline", "bh_1m_ms_per_step", "bh_1m_rms_force_error"}.
+vs_baseline is measured against the BASELINE.md north-star target of 1e12
+pairwise interactions/sec/chip (the reference publishes no numbers —
+SURVEY.md §6). vs_chip_roofline carries the chip-bound context: the kernel
+is VPU-bound at ~16 elementwise ops/pair, and the v5e VPU elementwise
+roofline was measured at ~2.9e12 op/s by an incremental-op experiment
+(DESIGN.md §2), so this chip's ceiling for any direct-sum-accuracy scheme
+is ~1.8e11 pairs/s — the measured five-variant MXU table (DESIGN.md §2)
+shows the 1e12 target is unreachable on v5e at direct-sum accuracy, not a
+software gap. The bh_1m_* keys carry BOTH BASELINE north-star metrics in
+the driver artifact (VERDICT r3 next #3): a BH perf number is only
+meaningful at its stated accuracy.
 """
 
 import json
@@ -27,6 +31,13 @@ OPS_PER_PAIR = 16.0
 CHIP_PAIRS_CEILING = VPU_ROOFLINE_OPS_PER_SEC / OPS_PER_PAIR
 
 
+def sync(s):
+    # device_get of a dependent scalar forces the whole chain; on this
+    # image's axon backend block_until_ready alone does not block.
+    jax.block_until_ready(s)
+    return float(jax.device_get(s.time))
+
+
 def main():
     backend = jax.default_backend()
     if backend == "tpu":
@@ -39,7 +50,13 @@ def main():
         cfg = SimConfig(n=n, ic="plummer", integrator="leapfrog",
                         softening=0.01, dt=1e-4, force="direct")
     try:
-        run_case(cfg, n, backend)
+        extra = {}
+        if backend == "tpu":
+            try:
+                extra = bh_case()
+            except Exception:
+                extra = {}
+        run_case(cfg, n, backend, extra)
     except Exception:
         # Never leave the driver without a datapoint: fall back to the
         # smaller pure-jnp config.
@@ -52,16 +69,34 @@ def main():
             raise
 
 
-def run_case(cfg, n, backend):
+def bh_case():
+    """Barnes-Hut N=1M (BASELINE config 3) at the measured operating point
+    (quad, theta=0.72, dense-256, octet far field): ms/step + rms force
+    error vs a sampled direct sum."""
+    from parallelnbody_tpu.utils.accuracy import rms_force_error_sample
 
+    cfg = SimConfig(n=1048576, ic="plummer", integrator="leapfrog",
+                    softening=0.01, dt=1e-4, force="barnes_hut",
+                    theta=0.72, bh_near_budget=3584, bh_far_budget=1536,
+                    track_potential=False)
     state = init_simulation(cfg)
     step = make_step(cfg)
+    state = step(state)
+    sync(state)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    sync(state)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    rms = rms_force_error_sample(state.pos, state.mass, state.acc,
+                                 g=cfg.g, softening=cfg.softening)
+    return {"bh_1m_ms_per_step": ms, "bh_1m_rms_force_error": rms}
 
-    def sync(s):
-        # device_get of a dependent scalar forces the whole chain; on this
-        # image's axon backend block_until_ready alone does not block.
-        jax.block_until_ready(s)
-        return float(jax.device_get(s.time))
+
+def run_case(cfg, n, backend, extra=None):
+    state = init_simulation(cfg)
+    step = make_step(cfg)
 
     # Warmup / compile
     state = step(state)
@@ -85,6 +120,7 @@ def run_case(cfg, n, backend):
         # 16-op/pair kernel (~2.9e12 op/s on v5e): the context for the
         # vs_baseline number — see DESIGN.md §2's measured MXU table.
         "vs_chip_roofline": interactions_per_sec / CHIP_PAIRS_CEILING,
+        **(extra or {}),
     }))
 
 

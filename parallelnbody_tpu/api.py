@@ -65,24 +65,40 @@ def make_accel_fn(cfg: SimConfig, mass: jax.Array,
 
 
 # ----------------------------------------------------------------------- init
-def init_simulation(cfg: SimConfig, key: jax.Array | None = None) -> SimState:
-    """Generate ICs and evaluate initial forces (so leapfrog can start)."""
+def virialize_state(state: SimState) -> SimState:
+    """Rescale speeds so 2K = -W using state.pot — turns approximately-
+    sampled models (hernquist/king/nfw/...) into virial equilibria without
+    per-model distribution functions. Pure elementwise + reductions, so it
+    works on sharded global arrays too (the sharded init path calls it
+    AFTER sharded_init_accel fills pot)."""
+    ke = 0.5 * jnp.sum(state.mass * jnp.sum(state.vel * state.vel, axis=-1))
+    w = 0.5 * jnp.sum(state.mass * state.pot)
+    scale = jnp.sqrt(jnp.maximum(-w, 1e-30) / jnp.maximum(2.0 * ke, 1e-30))
+    return state._replace(vel=state.vel * scale)
+
+
+def init_simulation(cfg: SimConfig, key: jax.Array | None = None,
+                    compute_forces: bool = True) -> SimState:
+    """Generate ICs and evaluate initial forces (so leapfrog can start).
+
+    compute_forces=False skips the SINGLE-CHIP force evaluation (acc/pot
+    stay zero) — required for sharded runs, whose whole point can be N
+    beyond one chip's memory: the caller shards the fresh state and fills
+    acc/pot with parallel.sharded.sharded_init_accel instead (then
+    virialize_state if cfg.virialize). cli.cmd_run does exactly this."""
     if key is None:
         key = jax.random.key(cfg.seed)
     k_ic, k_state = jax.random.split(key)
     pos, vel, mass = get_ic(cfg.ic)(k_ic, cfg)
     state = make_state(pos, vel, mass, key=k_state, dtype=jnp.dtype(cfg.dtype))
+    if not compute_forces:
+        return state
     accel_fn = make_accel_fn(cfg, state.mass)
     acc, pot = accel_fn(state.pos)
+    state = state._replace(acc=acc, pot=pot)
     if cfg.virialize:
-        # Rescale speeds so 2K = -W using the just-computed potential —
-        # turns approximately-sampled models (hernquist/king/nfw/...) into
-        # virial equilibria without per-model distribution functions.
-        ke = 0.5 * jnp.sum(state.mass * jnp.sum(vel * vel, axis=-1))
-        w = 0.5 * jnp.sum(state.mass * pot)
-        scale = jnp.sqrt(jnp.maximum(-w, 1e-30) / jnp.maximum(2.0 * ke, 1e-30))
-        state = state._replace(vel=vel * scale)
-    return state._replace(acc=acc, pot=pot)
+        state = virialize_state(state)
+    return state
 
 
 # ----------------------------------------------------------------------- step

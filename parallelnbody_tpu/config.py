@@ -95,14 +95,12 @@ class SimConfig:
                                    # to ~8k leaves), "staged" = hierarchical
                                    # refinement via level-2/level-1
                                    # candidate lists (O(budget) per target;
-                                   # scales past 8-16k leaves), "block" =
-                                   # staged at level-1-block granularity
-                                   # (one shared far list per 8-leaf block
-                                   # + per-leaf residual shell: ~8x less
-                                   # far-gather), "auto" = measured best
-                                   # for the leaf count. In staged/block
-                                   # modes bh_far_budget covers ALL far
-                                   # classes in one list.
+                                   # scales past 8-16k leaves), "auto" =
+                                   # measured best for the leaf count. In
+                                   # staged mode bh_far_budget covers ALL
+                                   # far classes in one list. (A "block"
+                                   # mode was measured never-better and
+                                   # retired — docs/DESIGN.md r4.)
     bh_cand_budget: int = 0        # staged: level-1 nodes refined per
                                    # target (0 = auto from the list budgets)
     bh_cand2_budget: int = 0       # staged: level-2 reject candidates per
@@ -116,6 +114,16 @@ class SimConfig:
                                    # enough), "gather" = per-node lists +
                                    # gathered-chunk kernels, "auto" = octet
                                    # (block refine always uses gather)
+    bh_sections: int = 0           # evaluate target leaves in this many
+                                   # sequential windows (lax.map): the
+                                   # traversal/list planes and their sort
+                                   # buffers scale with n_leaves/sections,
+                                   # closing the measured N=32M single-chip
+                                   # compile-OOM. 0 = auto (unsectioned up
+                                   # to the measured 16M boundary, then
+                                   # ~16k-leaf windows); identical physics
+                                   # at any count (ops/bh.py
+                                   # resolve_sections)
     bh_pair_slack: float = 2.0     # distributed BH: all_to_all per-rank-pair
                                    # exchange capacity, x (n_local / P).
                                    # Exchange overflow (reported, and treated
@@ -152,14 +160,29 @@ class SimConfig:
             )
         if self.ic not in IC_KINDS:
             raise ValueError(f"ic must be one of {IC_KINDS}, got {self.ic!r}")
-        if self.bh_refine not in ("auto", "dense", "staged", "block"):
+        if self.bh_refine not in ("auto", "dense", "staged"):
             raise ValueError(
-                f"bh_refine must be auto|dense|staged|block, "
+                f"bh_refine must be auto|dense|staged, "
                 f"got {self.bh_refine!r}")
         if self.bh_far_mode not in ("auto", "octet", "gather"):
             raise ValueError(
                 f"bh_far_mode must be auto|octet|gather, "
                 f"got {self.bh_far_mode!r}")
+        if self.bh_pair_slack <= 0:
+            raise ValueError(
+                f"bh_pair_slack must be > 0 (it scales the distributed "
+                f"exchange capacity), got {self.bh_pair_slack}")
+        if self.bh_own_slack < 0:
+            raise ValueError(
+                f"bh_own_slack must be >= 0, got {self.bh_own_slack}")
+        if self.bh_cand_budget < 0 or self.bh_cand2_budget < 0:
+            raise ValueError(
+                f"bh_cand_budget/bh_cand2_budget must be >= 0 (0 = auto), "
+                f"got {self.bh_cand_budget}/{self.bh_cand2_budget}")
+        if self.bh_sections < 0:
+            raise ValueError(
+                f"bh_sections must be >= 0 (0 = auto), "
+                f"got {self.bh_sections}")
         if self.n <= 0:
             raise ValueError("n must be positive")
         if self.dt <= 0:
@@ -197,10 +220,14 @@ class SimConfig:
         target — measured faster up to 4096 leaves (N=1M/256: 259 vs
         270 ms), slower by 8192 (N=2M galaxy: 664 vs 624 ms), and a memory
         wall past ~16k; staged hierarchical refinement takes over at 8192
-        leaves."""
+        leaves. The leaf count matches plan_tree's next-power-of-two
+        padding (ADVICE r3: ceil(n/leaf) alone under-counted for n in
+        (1M, 2M] and resolved 'dense' against the measured crossover)."""
         if self.bh_refine != "auto":
             return self.bh_refine
-        n_leaves = -(-self.n // self.resolve_bh_leaf_size())
+        from parallelnbody_tpu.ops.bh import plan_tree
+
+        n_leaves, _, _ = plan_tree(self.n, self.resolve_bh_leaf_size())
         return "staged" if n_leaves >= 8192 else "dense"
 
     def resolve_force(self, backend: str | None = None) -> str:

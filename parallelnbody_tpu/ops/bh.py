@@ -195,11 +195,10 @@ def _group_mac(leaf_com, leaf_r, node_com, node_r, theta):
 
 
 def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None,
-             stop_level=1, target_level=0):
+             stop_level=1):
     """Level-synchronous masked traversal over the upper levels
-    (k >= stop_level), for the target slice
-    [start_leaf, start_leaf + n_slice) of level-`target_level` nodes
-    (defaults to all leaves).
+    (k >= stop_level), for the target-leaf slice
+    [start_leaf, start_leaf + n_slice) (defaults to all leaves).
 
     Returns (far_masks, rejects): far_masks[k] is the (n_slice, n_k) bool
     mask of nodes at level k >= stop_level accepted as monopoles (lower
@@ -208,17 +207,13 @@ def traverse(tree: BHTree, theta: float, *, start_leaf=0, n_slice=None,
     `leaf_interactions` (stop_level=1, the dense plane) or by the staged
     gather refinement (stop_level=2, build_interaction_lists_staged).
 
-    target_level=1 classifies per level-1 BLOCK (com/radius of the level-1
-    pyramid): the group MAC then guarantees validity for every particle of
-    every member leaf — the two-granularity far field
-    (build_interaction_lists_block).
-
-    The slice parameters matter for multi-chip: each rank traverses only its
-    own target window, so this phase scales with 1/P instead of being
+    The slice parameters matter for multi-chip AND for the slice-sectioned
+    single-chip path: each rank / section traverses only its own target
+    window, so this phase scales with the window instead of being
     replicated (start_leaf may be traced)."""
-    leaf_com, leaf_r = tree.com[target_level], tree.radius[target_level]
+    leaf_com, leaf_r = tree.com[0], tree.radius[0]
     n_levels = tree.n_levels
-    assert target_level < stop_level < n_levels, (stop_level, n_levels)
+    assert 0 < stop_level < n_levels, (stop_level, n_levels)
     if n_slice is None:
         n_slice = leaf_com.shape[0]
     tgt_com = jax.lax.dynamic_slice_in_dim(leaf_com, start_leaf, n_slice, 0)
@@ -481,16 +476,13 @@ def _child_pack(tree: BHTree, k: int):
     return jnp.concatenate([c.reshape(n_k, b) for c in cols], axis=1), b
 
 
-def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta,
-                  return_geo=False):
+def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta):
     """Gather each candidate node's packed children and test the group MAC
     per child. Returns (acc, rej, gid): (R, B, b) masks of children accepted
     as multipoles / needing further refinement, and their global child ids
     (ascending along flattened columns when cand_idx rows are ascending).
     Empty children (mass 0 => CoM = sentinel) are excluded from BOTH
-    classes — they carry no physics. return_geo=True appends the gathered
-    (cx, cy, cz, cr) component arrays (the block builder's per-leaf stage D
-    re-tests the same children against each member leaf)."""
+    classes — they carry no physics."""
     rows = pack[cand_idx]                       # (R, B, 5b) full-lane rows
     cx = rows[:, :, 0 * b:1 * b]
     cy = rows[:, :, 1 * b:2 * b]
@@ -504,8 +496,6 @@ def _refine_stage(pack, b, cand_idx, cand_valid, tgt_com, tgt_r, theta,
     mac = (MAC_SIZE_SCALE * cr) < (theta * (d - tgt_r[:, None, None]))
     live = cand_valid[:, :, None] & (cm > 0)
     gid = cand_idx[:, :, None] * b + jnp.arange(b, dtype=jnp.int32)
-    if return_geo:
-        return live & mac, live & ~mac, gid, (cx, cy, cz, cr)
     return live & mac, live & ~mac, gid
 
 
@@ -535,8 +525,10 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
     (returned); `far_budget` must cover their SUM per target. Returns
     (near_idx, near_valid, far_idx, far_valid, nodes_all, overflow); near
     ids are leaf ids as in the dense path, so the near kernels are shared
-    verbatim. Overflow counts candidate-list clips (each clipped level-k
-    candidate loses its whole subtree) plus near/far clips.
+    verbatim. Overflow is an UPPER BOUND on lost entries: candidate-list
+    clips count the clipped candidate's worst-case subtree size (b2*b1 per
+    level-2 clip, b1 per level-1 clip) since its live-descendant count is
+    unknown at clip time, plus exact near/far clips.
 
     row_block: process targets in row blocks via lax.map to bound the
     gathered temporaries (0 = auto ~256 MB); must divide n_slice (auto picks
@@ -614,157 +606,6 @@ def build_interaction_lists_staged(tree: BHTree, far_masks, rejects_l2, *,
     nodes = _nodes_all_octet(tree, dtype) if octet_far \
         else _nodes_all(tree, dtype)
     return (near_idx, near_valid, far_idx, far_valid, nodes, overflow)
-
-
-def build_interaction_lists_block(tree: BHTree, far_masks, rejects_l2, *,
-                                  theta, start_leaf, n_slice, near_budget,
-                                  far_budget, cand2_budget, cand1_budget,
-                                  resid_budget, dtype, row_block=0):
-    """Two-granularity far field: the staged refinement with the MAC
-    evaluated against LEVEL-1 BLOCK targets (com/radius of the b1-leaf
-    group), so accepted far entries are valid for every member leaf and the
-    far list is shared by the whole block — the budget-wide far gather
-    shrinks by ~b1 x (it was the dominant cost at N>=8M: 1467 of 3005 ms).
-
-    Inputs come from traverse(stop_level=2, target_level=1) for the BLOCK
-    window [start_leaf/b1, ...): far_masks rows and rejects_l2 rows are
-    blocks. Stages A-C run as in build_interaction_lists_staged but against
-    block targets. Stage D refines the block-REJECTED subtrees per member
-    leaf HIERARCHICALLY (the first stage-D design jumped straight to leaf
-    granularity, which forced coarse acceptances fine — a fat block's
-    residual became its members' whole far field, p99 8083 of 8192 leaves
-    at N=1M/128):
-
-      * a candidate l1 node whose live children were ALL block-rejected
-        ("full reject") and which passes the member leaf's MAC goes into
-        that leaf's residual list COARSE, as one l1 entry — it covers
-        exactly its block-rejected children, so it cannot double-count
-        against the shared block-far list;
-      * otherwise its block-rejected children are tested individually per
-        leaf: leaf-MAC pass -> residual (leaf id), fail -> the exact near
-        list (identical to the per-leaf pipeline's near set: failing the
-        leaf MAC implies failing every coarser MAC up the chain).
-
-    Returns (near_idx, near_valid, far_idx, far_valid, resid_idx,
-    resid_valid, nodes_all, overflow): far lists have n_slice/b1 rows (one
-    per block; evaluate with (b1*G)-lane target tiles), near/resid have
-    n_slice rows (resid ids index nodes_all: leaves and level-1 nodes).
-    start_leaf must be block-aligned."""
-    n_levels = tree.n_levels
-    n_leaves = tree.com[0].shape[0]
-    widths = [c.shape[0] for c in tree.com]
-    b1 = widths[0] // widths[1]
-    assert n_levels >= 3, "block refinement needs >= 3 tree levels"
-    assert n_slice % b1 == 0, (n_slice, b1)
-    n_blocks = n_slice // b1
-    big = jnp.iinfo(jnp.int32).max
-    offs = _level_offsets(widths)
-
-    pack2, b2 = _child_pack(tree, 2)
-    pack1, _ = _child_pack(tree, 1)
-    # l1 geometry row table for stage D's per-leaf l1 MAC: narrow rows
-    # [cx, cy, cz, r, m] (row-count-bound gather).
-    l1_geo = jnp.stack(
-        [tree.com[1][:, 0], tree.com[1][:, 1], tree.com[1][:, 2],
-         tree.radius[1], tree.mass[1]], axis=1)
-    cand2_budget = min(cand2_budget, widths[2])
-    cand1_budget = min(cand1_budget, widths[1])
-
-    start_block = start_leaf // b1
-    blk_com = jax.lax.dynamic_slice_in_dim(tree.com[1], start_block,
-                                           n_blocks, 0)
-    blk_r = jax.lax.dynamic_slice_in_dim(tree.radius[1], start_block,
-                                         n_blocks, 0)
-    blk_m = jax.lax.dynamic_slice_in_dim(tree.mass[1], start_block,
-                                         n_blocks, 0)
-    tgt_com = jax.lax.dynamic_slice_in_dim(tree.com[0], start_leaf, n_slice, 0)
-    tgt_r = jax.lax.dynamic_slice_in_dim(tree.radius[0], start_leaf,
-                                         n_slice, 0)
-    tgt_m = jax.lax.dynamic_slice_in_dim(tree.mass[0], start_leaf, n_slice, 0)
-    up_keys = _upper_keys(far_masks, offs, n_levels)
-
-    def block_fn(args):
-        (rej2, upk, b_com, b_r, b_m, l_com, l_r, l_m) = args
-        r = rej2.shape[0]
-        rej2 = rej2 & (b_m > 0)[:, None]
-        upk = jnp.where((b_m > 0)[:, None], upk, big)
-        cols2 = jax.lax.broadcasted_iota(jnp.int32, rej2.shape, 1)
-        c2_idx, c2_valid, of2 = _row_compact(rej2, cols2, cand2_budget)
-
-        acc1, rej1, gid1 = _refine_stage(pack2, b2, c2_idx, c2_valid,
-                                         b_com, b_r, theta)
-        far1_keys = jnp.where(acc1, offs[1] + gid1, big).reshape(r, -1)
-        c1_idx, c1_valid, of1 = _keys_compact(
-            jnp.where(rej1, gid1, big).reshape(r, -1), cand1_budget)
-
-        acc0, rej0, gid0, (cx0, cy0, cz0, cr0) = _refine_stage(
-            pack1, b1, c1_idx, c1_valid, b_com, b_r, theta, return_geo=True)
-        far0_keys = jnp.where(acc0, gid0, big).reshape(r, -1)
-        far_idx, far_valid, of_f = _keys_compact(
-            jnp.concatenate([far0_keys, far1_keys, upk], axis=1), far_budget)
-
-        # ---- stage D: hierarchical per-member-leaf refinement of the
-        # block-rejected subtrees (see docstring).
-        t_com = l_com                              # (r, b1, 3)
-        t_r = l_r                                  # (r, b1)
-        t_live = l_m > 0                           # (r, b1)
-        g1 = l1_geo[c1_idx]                        # (r, B1, 5) narrow rows
-        d2 = jnp.zeros(c1_idx.shape[:1] + (b1, c1_idx.shape[1]), g1.dtype)
-        for c in range(3):
-            dc = g1[:, None, :, c] - t_com[:, :, c][:, :, None]
-            d2 = d2 + dc * dc
-        mac1_leaf = (MAC_SIZE_SCALE * g1[:, None, :, 3]) < (
-            theta * (jnp.sqrt(d2) - t_r[:, :, None]))   # (r, b1, B1)
-        live1 = (c1_valid & (g1[:, :, 4] > 0))[:, None, :] \
-            & t_live[:, :, None]
-        # Full-reject candidates: no live child was block-accepted, so the
-        # l1 multipole covers exactly the block-rejected children — safe to
-        # take COARSE for leaves that accept it.
-        full_rej = ~jnp.any(acc0, axis=2)          # (r, B1)
-        coarse = live1 & full_rej[:, None, :] & mac1_leaf
-        resid2_keys = jnp.where(coarse, offs[1] + c1_idx[:, None, :],
-                                big).reshape(r * b1, -1)
-
-        # Remaining block-rejected children, tested individually per leaf.
-        dx = cx0[:, None] - t_com[..., 0][:, :, None, None]
-        dy = cy0[:, None] - t_com[..., 1][:, :, None, None]
-        dz = cz0[:, None] - t_com[..., 2][:, :, None, None]
-        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)   # (r, b1, B1, bc)
-        mac0_leaf = (MAC_SIZE_SCALE * cr0[:, None]) < (
-            theta * (d - t_r[:, :, None, None]))
-        base = (rej0[:, None] & ~coarse[..., None]
-                & t_live[:, :, None, None])
-        near_keys = jnp.where(base & ~mac0_leaf, gid0[:, None],
-                              big).reshape(r * b1, -1)
-        farleaf_keys = jnp.where(base & mac0_leaf, gid0[:, None],
-                                 big).reshape(r * b1, -1)
-        near_idx, near_valid, of_n = _keys_compact(near_keys, near_budget)
-        resid_idx, resid_valid, of_r = _keys_compact(
-            jnp.concatenate([farleaf_keys, resid2_keys], axis=1),
-            resid_budget)
-        # A clipped candidate hides up to b children from BOTH classes.
-        of = (of2 * (b2 * b1) + of1 * b1 + of_n + of_r
-              + of_f).astype(jnp.int32)
-        return (near_idx, near_valid, far_idx, far_valid, resid_idx,
-                resid_valid, of)
-
-    if row_block <= 0:
-        # Dominant per-block-row temporaries: the stage B/C packed-child
-        # gathers (cand * 128 lanes) and stage D's (b1, B1, bc) per-leaf
-        # MAC tensors (~6 live f32 arrays).
-        per_row = 4 * max(max(cand1_budget, cand2_budget) * 128,
-                          6 * b1 * cand1_budget * b1)
-        row_block = max(8, (1 << 28) // max(per_row, 1))
-    (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
-     of) = _map_row_blocks(
-        block_fn,
-        (rejects_l2, up_keys, blk_com, blk_r, blk_m,
-         tgt_com.reshape(n_blocks, b1, 3),
-         tgt_r.reshape(n_blocks, b1), tgt_m.reshape(n_blocks, b1)),
-        n_blocks, row_block)
-    overflow = jnp.sum(of).astype(jnp.int32)
-    return (near_idx, near_valid, far_idx, far_valid, resid_idx,
-            resid_valid, _nodes_all(tree, dtype), overflow)
 
 
 # ----------------------------------------------------------------- near field
@@ -1095,12 +936,16 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
     mode far0_budget covers ALL far classes (upper + level-1 + leaf) in one
     list, and cand_budgets = (cand2, cand1) sizes the refinement stages.
 
-    far_mode="octet" (dense and staged refines): the far field is emitted
-    as octet-masked keys and evaluated by the VMEM-resident sibling-tile
-    kernel (far_octet_pallas) — no budget-wide HBM gather, one kernel call
-    for every far class; far0_budget then counts octet entries (a per-node
-    budget is always sufficient). "gather" keeps the gathered-chunk
-    kernels; block refine always uses gather."""
+    far_mode="octet": the far field is emitted as octet-masked keys and
+    evaluated by the VMEM-resident sibling-tile kernel (far_octet_pallas) —
+    no budget-wide HBM gather, one kernel call for every far class;
+    far0_budget then counts octet entries (a per-node budget is always
+    sufficient). "gather" keeps the gathered-chunk kernels.
+
+    (A third refine, "block" — one shared far list per level-1 block +
+    per-leaf residual — was built, measured never simultaneously
+    overflow-free and faster than staged, and retired; full record in
+    docs/DESIGN.md r4.)"""
     dtype = pos_s.dtype
     n_pad = pos_s.shape[0]
     n_leaves = n_pad // leaf_size
@@ -1109,55 +954,7 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
 
     p_leaves = pos_s.reshape(n_leaves, leaf_size, 3)
     tgt_leaves = jax.lax.dynamic_slice_in_dim(p_leaves, start_leaf, n_slice, 0)
-    if refine == "block":
-        b1 = n_leaves // tree.com[1].shape[0]
-        # Per-leaf residual lists carry the fat-GROUP tail (a sparse
-        # block's MAC rejects nearly everything), but stage D keeps
-        # full-reject subtrees COARSE (l1-granular), bounding the tail at
-        # ~1/b1 of the old leaf-forced form. Budget for it; the remaining
-        # skew is handled at EVAL time by the count-binned far kernel (the
-        # fat eighth of rows keeps the full width).
-        resid_budget = min(n_leaves, near_budget + far0_budget)
-        resid_bin = min(resid_budget, max(512, 2 * near_budget))
-        (near_idx, near_valid, far_idx, far_valid, resid_idx, resid_valid,
-         nodes_all, overflow) = build_interaction_lists_block(
-            tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
-            n_slice=n_slice, near_budget=near_budget, far_budget=far0_budget,
-            cand2_budget=cand_budgets[0], cand1_budget=cand_budgets[1],
-            resid_budget=resid_budget, dtype=dtype)
-        # Block-shared far list: (b1*G)-lane target tiles, one row per block.
-        # Both far evals are count-binned on TPU: the list budgets cover the
-        # fat-row maxima, but only the longest eighth of rows gathers the
-        # full width — the rest gathers the bin width (clipping past either
-        # is counted into overflow by the kernel, never silent).
-        tgt_blocks = tgt_leaves.reshape(n_slice // b1, b1 * leaf_size, 3)
-        far_bin = max(1024, far0_budget * 5 // 8)
-        if use_pallas:
-            from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
-
-            interpret = jax.default_backend() != "tpu"
-            acc, pot, of_b1 = far_field_pallas(
-                tgt_blocks, nodes_all, far_idx, far_valid, g,
-                float(softening), guard_zero, interpret=interpret,
-                compute_pot=compute_pot,
-                bin_rows=max(8, (n_slice // b1) // 8), bin_budget=far_bin)
-            a2, p2, of_b2 = far_field_pallas(
-                tgt_leaves, nodes_all, resid_idx, resid_valid, g,
-                float(softening), guard_zero, interpret=interpret,
-                compute_pot=compute_pot,
-                bin_rows=max(8, n_slice // 8), bin_budget=resid_bin)
-            overflow = overflow + of_b1 + of_b2
-        else:
-            acc, pot = _eval_far_list(
-                tgt_blocks, nodes_all, far_idx, far_valid, g=g,
-                softening=softening, use_pallas=False,
-                compute_pot=compute_pot)
-            a2, p2 = _eval_far_list(
-                tgt_leaves, nodes_all, resid_idx, resid_valid, g=g,
-                softening=softening, use_pallas=False,
-                compute_pot=compute_pot)
-        acc, pot = acc + a2, pot + p2
-    elif refine == "staged":
+    if refine == "staged":
         (near_idx, near_valid, far_idx, far_valid, nodes_all,
          overflow) = build_interaction_lists_staged(
             tree, far_masks, rejects, theta=theta, start_leaf=start_leaf,
@@ -1210,20 +1007,20 @@ def _forces_sorted(pos_s, mass_s, tree, far_masks, rejects, *, start_leaf,
 
 
 def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
-    """Resolve the refinement mode + staged/block candidate budgets.
+    """Resolve the refinement mode + staged candidate budgets.
 
-    "staged"/"block" need >= 3 tree levels (fall back to dense). Auto
-    candidate budgets: every refined level-1 candidate contributes its ~8
-    leaf children to near/far0, so cand1 ~ (near + far) / 8; level-2
-    candidates parent both the far1 accepts and the refined level-1 nodes,
-    so cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
-    if refine not in ("dense", "staged", "block"):
-        raise ValueError(f"refine must be dense|staged|block (resolved), "
+    "staged" needs >= 3 tree levels (falls back to dense). Auto candidate
+    budgets: every refined level-1 candidate contributes its ~8 leaf
+    children to near/far0, so cand1 ~ (near + far) / 8; level-2 candidates
+    parent both the far1 accepts and the refined level-1 nodes, so
+    cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
+    if refine not in ("dense", "staged"):
+        raise ValueError(f"refine must be dense|staged (resolved), "
                          f"got {refine!r}")
-    if refine in ("staged", "block") and n_levels < 3:
+    if refine == "staged" and n_levels < 3:
         refine = "dense"
     c2, c1 = cand_budgets
-    if refine in ("staged", "block"):
+    if refine == "staged":
         if c1 <= 0:
             c1 = max(128, -(-(near_budget + far_budget) // 8) + 127 & ~127)
         if c2 <= 0:
@@ -1233,15 +1030,40 @@ def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
 
 def resolve_far_mode(far_mode, refine):
     """Resolve the far-field evaluation mode. "auto" -> "octet" (the
-    measured-best resident-table sibling-tile path) for dense/staged
-    refines; block refine keeps the gathered-chunk kernels (its block-wide
-    target tiles have no octet form)."""
+    measured-best resident-table sibling-tile path)."""
     if far_mode not in ("auto", "octet", "gather"):
         raise ValueError(f"far_mode must be auto|octet|gather, "
                          f"got {far_mode!r}")
-    if refine == "block":
-        return "gather"
     return "octet" if far_mode == "auto" else far_mode
+
+
+# Sections auto threshold: the measured single-chip capacity boundary.
+# N=16M (65536 leaves) compiles and runs unsectioned in 15.75 GB HBM;
+# N=32M (131072 leaves) wants 34.6 GB at compile — the traversal planes,
+# staged list planes, and their sort buffers all scale with the target-row
+# count, so sectioning the TARGETS (sources stay whole) divides exactly the
+# allocations that overshoot (VERDICT r3 next #1).
+_SECTION_AUTO_LEAVES = 65536
+_SECTION_TARGET_ROWS = 16384
+
+
+def resolve_sections(sections, n_leaves, refine):
+    """Resolve the evaluation section count. 0 = auto: 1 (unsectioned) up
+    to the measured single-chip boundary (65536 leaves = N=16M at leaf
+    256), then enough power-of-two sections to hold per-section target
+    windows at ~16384 rows. Explicit counts are clamped to a power of two
+    dividing n_leaves. Dense refine never sections (it is auto-selected
+    only below 8192 leaves, far under the memory boundary)."""
+    if refine == "dense":
+        return 1
+    if sections <= 0:
+        if n_leaves <= _SECTION_AUTO_LEAVES:
+            return 1
+        sections = n_leaves // _SECTION_TARGET_ROWS
+    s = 1
+    while s * 2 <= min(sections, n_leaves):
+        s *= 2
+    return s
 
 
 @functools.partial(
@@ -1249,26 +1071,38 @@ def resolve_far_mode(far_mode, refine):
     static_argnames=("leaf_size", "theta", "g", "softening", "near_budget",
                      "far0_budget", "use_pallas", "curve", "multipole",
                      "max_levels", "compute_pot", "refine", "cand_budgets",
-                     "far_mode"),
+                     "far_mode", "sections"),
 )
 def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
              near_budget=64, far0_budget=2048, use_pallas=False,
              curve="hilbert", multipole=1, max_levels=12, compute_pot=True,
-             refine="dense", cand_budgets=(0, 0), far_mode="auto"):
+             refine="dense", cand_budgets=(0, 0), far_mode="auto",
+             sections=0):
     """Barnes-Hut accelerations/potentials in original particle order.
 
     Returns (acc (N,3), pot (N,), overflow ()): overflow > 0 means the
     near/far budgets clipped some pairs (increase cfg.bh_near_budget /
-    cfg.bh_far_budget).
+    cfg.bh_far_budget). The counter is an UPPER BOUND on lost entries, not
+    an exact count: staged candidate-list clips are charged their
+    worst-case subtree size and clipped far octets are charged 8 nodes
+    (see build_interaction_lists_staged) — zero still means exactly
+    "nothing clipped".
 
-    refine: "dense" (the (n_slice, n_leaves) leaf plane), "staged"
+    refine: "dense" (the (n_slice, n_leaves) leaf plane) or "staged"
     (hierarchical candidate refinement, for large leaf counts — see
-    build_interaction_lists_staged), or "block" (staged with level-1 block
-    targets sharing one far list per block + per-leaf residual shell —
-    build_interaction_lists_block; cuts the budget-wide far gather ~8x).
-    Both fall back to dense on trees with fewer than 3 levels.
-    cand_budgets = (cand2, cand1) candidate budgets; 0 resolves to a
-    default derived from the list budgets.
+    build_interaction_lists_staged; falls back to dense on trees with
+    fewer than 3 levels). cand_budgets = (cand2, cand1) candidate budgets;
+    0 resolves to a default derived from the list budgets.
+
+    sections: evaluate the target leaves in this many sequential windows
+    (lax.map), re-using the same windowed traversal + list machinery the
+    multi-chip path runs (bh_accel_target_slice) — the per-window
+    traversal planes, staged lists, and their sort buffers are sized by
+    n_leaves/sections instead of n_leaves, which is what closes the
+    measured N=32M single-chip compile-OOM (34.6 GB unsectioned vs
+    15.75 GB HBM). 0 = auto (resolve_sections: unsectioned up to the
+    measured 16M boundary). Identical physics and lists to the
+    unsectioned evaluation — each target window sees the same candidates.
     """
     pos_s, mass_s, perm, tree, n, n_pad = _prepare(
         pos, mass, leaf_size=leaf_size, curve=curve, multipole_order=multipole,
@@ -1277,16 +1111,38 @@ def bh_accel(pos, mass, *, leaf_size=256, theta=0.5, g=1.0, softening=1e-2,
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
     far_mode = resolve_far_mode(far_mode, refine)
-    far_masks, rejects = traverse(
-        tree, theta, stop_level=1 if refine == "dense" else 2,
-        target_level=1 if refine == "block" else 0)
-    acc, pot, overflow = _forces_sorted(
-        pos_s, mass_s, tree, far_masks, rejects,
-        start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
-        g=g, softening=softening, near_budget=near_budget,
-        far0_budget=far0_budget, use_pallas=use_pallas,
-        compute_pot=compute_pot, refine=refine, cand_budgets=cand_budgets,
-        far_mode=far_mode)
+    sections = resolve_sections(sections, n_leaves, refine)
+    stop = 1 if refine == "dense" else 2
+
+    if sections == 1:
+        far_masks, rejects = traverse(tree, theta, stop_level=stop)
+        acc, pot, overflow = _forces_sorted(
+            pos_s, mass_s, tree, far_masks, rejects,
+            start_leaf=0, n_slice=n_leaves, leaf_size=leaf_size, theta=theta,
+            g=g, softening=softening, near_budget=near_budget,
+            far0_budget=far0_budget, use_pallas=use_pallas,
+            compute_pot=compute_pot, refine=refine, cand_budgets=cand_budgets,
+            far_mode=far_mode)
+    else:
+        w = n_leaves // sections
+
+        def section_fn(i):
+            start = i * w
+            far_masks, rejects = traverse(tree, theta, start_leaf=start,
+                                          n_slice=w, stop_level=stop)
+            return _forces_sorted(
+                pos_s, mass_s, tree, far_masks, rejects,
+                start_leaf=start, n_slice=w, leaf_size=leaf_size,
+                theta=theta, g=g, softening=softening,
+                near_budget=near_budget, far0_budget=far0_budget,
+                use_pallas=use_pallas, compute_pot=compute_pot,
+                refine=refine, cand_budgets=cand_budgets, far_mode=far_mode)
+
+        accs, pots, ovfs = jax.lax.map(
+            section_fn, jnp.arange(sections, dtype=jnp.int32))
+        acc = accs.reshape(n_pad, 3)
+        pot = pots.reshape(n_pad)
+        overflow = jnp.sum(ovfs).astype(jnp.int32)
 
     # Unsort back to the caller's particle order: a 5-operand row sort keyed
     # by the permutation (sorted row i belongs at original index perm[i]).
@@ -1325,11 +1181,6 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     # picks a consistent copy.
     n_slice = -(-n_leaves // n_ranks)
     start = jnp.minimum(rank * n_slice, n_leaves - n_slice)
-    if refine == "block":
-        # Block mode needs b1-aligned target windows; rank slices are
-        # arbitrary, so the sliced path downgrades to per-leaf staged
-        # (same physics, the far list just stays leaf-granular).
-        refine = "staged"
     refine, cand_budgets = resolve_refine(refine, cand_budgets, tree.n_levels,
                                           near_budget, far0_budget)
     far_mode = resolve_far_mode(far_mode, refine)
@@ -1437,9 +1288,8 @@ def tree_stats(pos, mass, cfg) -> dict:
             "upper_accepted_total": upper,
             "overflow": int(overflow),
         }
-    elif refine == "staged":
+    else:  # staged
         far_masks, rej2 = traverse(tree, cfg.theta, stop_level=2)
-        nv, fv = None, None
         (_, nv, _, fv, _, overflow) = build_interaction_lists_staged(
             tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
             n_slice=n_leaves, near_budget=cfg.bh_near_budget,
@@ -1453,26 +1303,6 @@ def tree_stats(pos, mass, cfg) -> dict:
             far_key: pct(jnp.sum(fv, axis=1)),
             "l2_rejects_per_target": pct(jnp.sum(rej2, axis=1)),
             "cand_budgets": {"cand2": cands[0], "cand1": cands[1]},
-            "overflow": int(overflow),
-        }
-    else:  # block
-        b1 = n_leaves // tree.com[1].shape[0]
-        far_masks, rej2 = traverse(tree, cfg.theta, stop_level=2,
-                                   target_level=1)
-        resid_budget = min(n_leaves, cfg.bh_near_budget + cfg.bh_far_budget)
-        (_, nv, _, fv, _, rv, _, overflow) = build_interaction_lists_block(
-            tree, far_masks, rej2, theta=cfg.theta, start_leaf=0,
-            n_slice=n_leaves, near_budget=cfg.bh_near_budget,
-            far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
-            cand1_budget=cands[1], resid_budget=resid_budget,
-            dtype=pos_s.dtype)
-        out |= {
-            "near_leaves_per_target": pct(jnp.sum(nv, axis=1)),
-            "far_nodes_per_block": pct(jnp.sum(fv, axis=1)),
-            "resid_nodes_per_target": pct(jnp.sum(rv, axis=1)),
-            "l2_rejects_per_block": pct(jnp.sum(rej2, axis=1)),
-            "cand_budgets": {"cand2": cands[0], "cand1": cands[1],
-                             "resid": resid_budget},
             "overflow": int(overflow),
         }
     return out
@@ -1515,6 +1345,7 @@ def make_bh_accel(cfg, mass, overflow_cell=None):
             refine=cfg.resolve_bh_refine(),
             cand_budgets=(cfg.bh_cand2_budget, cfg.bh_cand_budget),
             far_mode=getattr(cfg, "bh_far_mode", "auto"),
+            sections=getattr(cfg, "bh_sections", 0),
         )
         if overflow_cell is not None:
             # int32 regardless of x64 mode: the counter rides scan carries

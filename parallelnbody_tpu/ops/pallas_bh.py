@@ -622,30 +622,24 @@ def _far_eval(tgt_t, tab, idx, valid, cnt, *, eps2, guard_zero, quad,
 @functools.partial(
     jax.jit,
     static_argnames=("g", "softening", "guard_zero", "interpret",
-                     "front_packed", "compute_pot", "bin_rows", "bin_budget"),
+                     "front_packed", "compute_pot"),
 )
 def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
-                     interpret=False, front_packed=True, compute_pot=True,
-                     bin_rows=0, bin_budget=0):
+                     interpret=False, front_packed=True, compute_pot=True):
     """Multipole far field: targets (Ls, G, 3) against per-target lists of
     accepted nodes idx/valid (Ls, B) over the global node table — (n, 4)
     [com, mass] monopole or (n, 9) [com, mass, Qxx, Qyy, Qxy, Qxz, Qyz]
     quadrupole (any mix of tree levels — the lists encode the structure, so
     upper-level and leaf-level nodes share one kernel).
 
-    Returns (acc, pot, overflow).
+    Returns (acc, pot, overflow); overflow is always 0 (kept for call-site
+    symmetry — this kernel never clips; a count-sorted two-bin variant
+    existed for the retired block refine and was removed with it,
+    docs/DESIGN.md r4).
 
     front_packed=False: `valid` is a raw scattered mask — count skipping
     would drop valid entries past the count, so every sub-tile is evaluated
-    (invalid entries contribute nothing via zeroed moments).
-
-    bin_rows > 0 (front-packed lists only): count-sorted two-bin evaluation.
-    The budget-wide node gather dominates this kernel's cost at scale and
-    cannot skip by count, so rows are sorted by list length: the bin_rows
-    longest rows keep the full budget, the rest gather only bin_budget
-    columns (entries past bin_budget in those rows are CLIPPED and counted
-    in the returned overflow — size bin_budget from the measured list-length
-    distribution, e.g. tree_stats). Row order is restored before returning."""
+    (invalid entries contribute nothing via zeroed moments)."""
     dtype = tgt_leaves.dtype
     n_slice = tgt_leaves.shape[0]
     budget = idx.shape[1]
@@ -661,26 +655,6 @@ def far_field_pallas(tgt_leaves, nodes, idx, valid, g, softening, guard_zero,
     kw = dict(eps2=eps2, guard_zero=guard_zero, quad=n_comp >= 9,
               interpret=interpret, compute_pot=compute_pot,
               scattered_valid=not front_packed)
-
-    binned = (front_packed and 0 < bin_rows < n_slice
-              and 0 < bin_budget < budget)
-    if not binned:
-        out = _far_eval(tgt_t, tab, idx, valid, cnt, **kw)
-        acc, pot = _unpack(out, g)
-        return acc, pot, jnp.zeros((), jnp.int32)
-
-    order = jnp.argsort(-cnt)
-    inv = jnp.argsort(order)
-    tgt_p = tgt_t[order]        # (Ls, 4, G) row gather: full-lane rows, fast
-    idx_p = idx[order]
-    valid_p = valid[order]
-    cnt_p = cnt[order]
-    out_hi = _far_eval(tgt_p[:bin_rows], tab, idx_p[:bin_rows],
-                       valid_p[:bin_rows], cnt_p[:bin_rows], **kw)
-    cnt_lo = jnp.minimum(cnt_p[bin_rows:], bin_budget)
-    overflow = jnp.sum(jnp.maximum(cnt_p[bin_rows:] - bin_budget, 0))
-    out_lo = _far_eval(tgt_p[bin_rows:], tab, idx_p[bin_rows:, :bin_budget],
-                       valid_p[bin_rows:, :bin_budget], cnt_lo, **kw)
-    out = jnp.concatenate([out_hi, out_lo], axis=0)[inv]
+    out = _far_eval(tgt_t, tab, idx, valid, cnt, **kw)
     acc, pot = _unpack(out, g)
-    return acc, pot, overflow.astype(jnp.int32)
+    return acc, pot, jnp.zeros((), jnp.int32)

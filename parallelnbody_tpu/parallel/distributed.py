@@ -127,7 +127,11 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
     valid_in masks live rows (padding rows are dropped and re-created as
     zero-mass sentinel padding at the back). n_live is the STATIC expected
     live count per rank (= N/P) used for splitter sample quantiles. Returns
-    (pos_own, extras_own, mass_own, id_own, valid_own, sentinel, overflow).
+    (pos_own, extras_own, mass_own, id_own, valid_own, sentinel, overflow,
+    n_migrants) — n_migrants is this rank's count of live rows routed to
+    another rank (the exchange-volume observable: the persistent run's
+    steady-state claim is measured from it, scripts/exchange_volume_probe.py
+    / DESIGN.md §4).
     """
     dtype = pos.dtype
 
@@ -192,8 +196,9 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
     # particles under the persistent run's `pids >= 0` liveness convention
     # and overwrote their origin slots at exit.
     sid = jnp.where(valid_own, sid, -1)
+    n_migrants = jnp.sum(valid_in & ~stay).astype(jnp.int32)
     return pos_own, extras_own, mass_own, sid, valid_own, sentinel, \
-        of_pair + of_own
+        of_pair + of_own, n_migrants
 
 
 def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
@@ -221,11 +226,9 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
     # The refinement mode follows the config: the dense plane is
     # O(n_leaf_loc x n_leaves_global) per rank — the same wall the
     # single-chip path hits past ~8-16k global leaves — so large-N
-    # distributed runs use the staged hierarchical lists ("block"
-    # downgrades to staged here: rank windows are not block-aligned).
-    refine = cfg.resolve_bh_refine()
+    # distributed runs use the staged hierarchical lists.
     refine, cands = resolve_refine(
-        "staged" if refine == "block" else refine,
+        cfg.resolve_bh_refine(),
         (cfg.bh_cand2_budget, cfg.bh_cand_budget), tree.n_levels,
         cfg.bh_near_budget, cfg.bh_far_budget)
     far_mode = resolve_far_mode(getattr(cfg, "bh_far_mode", "auto"), refine)
@@ -348,7 +351,8 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
 
     ids = rank * n_local + jnp.arange(n_local, dtype=jnp.int32)
     valid = jnp.ones((n_local,), bool)
-    pos_own, _, mass_own, id_own, valid_own, sentinel, of_ex = _repartition(
+    (pos_own, _, mass_own, id_own, valid_own, sentinel, of_ex,
+     _) = _repartition(
         pos, [], mass, ids, valid, rank=rank, n_ranks=n_ranks,
         cap_pair=cap_pair, own_cap=own_cap, n_live=n_local,
         curve=cfg.bh_curve, axis=axis)
@@ -366,7 +370,8 @@ def dist_bh_accel(pos, mass, cfg, axis, *, compute_pot=True):
     return jnp.stack([ax, ay, az], axis=1), po, overflow
 
 
-def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
+def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
+                         debug_exchange=False):
     """n_steps distributed-BH steps with a PERSISTENTLY key-sharded carry.
 
     The per-step path (make_sharded_step + dist_bh_accel) must restore the
@@ -384,6 +389,13 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
     COMPILED comm volume is the capacity, not the migrant count — sizing
     cap_pair below PAIR_SLACK x N/P^2 for the steady state is the lever on
     real hardware (untestable on this rig; kept at the entry capacity).
+
+    debug_exchange=True: run(state) -> (state, overflow, migrants) with
+    migrants (n_steps,) int32 — the psum'd count of particles that crossed
+    a rank boundary at each step's repartition (step 0 = the entry
+    exchange, ~(P-1)/P of N by construction). This is the MEASURED
+    exchange volume behind the steady-state claim above
+    (scripts/exchange_volume_probe.py; DESIGN.md §4 table).
 
     Returns run(state) -> (state, overflow); overflow accumulates every
     step\'s clipped exchange slots + list entries (psum over ranks).
@@ -420,14 +432,15 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
         def repart(pos, vel, accv, potv, mass, pids, vmask):
             extras = [vel[:, 0], vel[:, 1], vel[:, 2],
                       accv[:, 0], accv[:, 1], accv[:, 2], potv]
-            pos_o, ex_o, mass_o, id_o, valid_o, sentinel, of = _repartition(
+            (pos_o, ex_o, mass_o, id_o, valid_o, sentinel, of,
+             mig) = _repartition(
                 pos, extras, mass, pids, vmask, rank=rank, n_ranks=n_ranks,
                 cap_pair=cap_pair, own_cap=own_cap, n_live=n_local,
                 curve=cfg.bh_curve, axis=axis)
             vel_o = jnp.stack(ex_o[0:3], axis=1)
             acc_o = jnp.stack(ex_o[3:6], axis=1)
             return pos_o, vel_o, acc_o, ex_o[6], mass_o, id_o, valid_o, \
-                sentinel, of
+                sentinel, of, lax.psum(mig, axis)
 
         def force_step(pos, vel, accv, potv, mass, sentinel):
             # Overflow ACCUMULATES across accel_fn calls: multi-eval
@@ -450,7 +463,8 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
         # ---- enter the key-sharded space; the entry sort IS step 1's sort
         # (the in-scan repartition starts at step 2 — a first-iteration
         # repart would redo an exchange on a zero-migrant state).
-        (pos, vel, accv, potv, mass, pids, _, sentinel, of_enter) = repart(
+        (pos, vel, accv, potv, mass, pids, _, sentinel, of_enter,
+         mig_enter) = repart(
             state.pos, state.vel, state.acc, state.pot, state.mass,
             ids0, valid0)
         pos, vel, accv, potv, of_s1 = force_step(pos, vel, accv, potv, mass,
@@ -461,16 +475,17 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
 
         def body(carry, _):
             pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
-            pos, vel, accv, potv, mass, pids, _, sentinel, of1 = repart(
-                pos, vel, accv, potv, mass, pids, pids >= 0)
+            (pos, vel, accv, potv, mass, pids, _, sentinel, of1,
+             mig) = repart(pos, vel, accv, potv, mass, pids, pids >= 0)
             pos, vel, accv, potv, of2 = force_step(pos, vel, accv, potv,
                                                    mass, sentinel)
             return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
-                    of_acc + of1 + of2), None
+                    of_acc + of1 + of2), mig
 
+        migs = jnp.zeros((0,), jnp.int32)
         if n_steps > 1:
             carry0 = (pos, vel, accv, potv, mass, pids, t, st, of_total)
-            carry, _ = jax.lax.scan(body, carry0, length=n_steps - 1)
+            carry, migs = jax.lax.scan(body, carry0, length=n_steps - 1)
             pos, vel, accv, potv, mass, pids, t, st, of_total = carry
 
         # ---- exit: origin-order state, one reverse exchange
@@ -486,9 +501,14 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS):
             acc=jnp.stack(outs[6:9], axis=1),
             pot=outs[9], time=t, step=st,
         )
-        return out_state, lax.psum(of_total + of_rev, axis)
+        of_out = lax.psum(of_total + of_rev, axis)
+        if debug_exchange:
+            migrants = jnp.concatenate([mig_enter[None], migs])
+            return out_state, of_out, migrants
+        return out_state, of_out
 
+    P = jax.sharding.PartitionSpec
+    out_specs = (specs, P(), P()) if debug_exchange else (specs, P())
     fn = shard_map(local_run, mesh=mesh, in_specs=(specs,),
-                   out_specs=(specs, jax.sharding.PartitionSpec()),
-                   check_vma=False)
+                   out_specs=out_specs, check_vma=False)
     return jax.jit(fn)

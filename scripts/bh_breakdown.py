@@ -166,12 +166,6 @@ def main():
         far_field_pallas, g=1.0, softening=0.01, guard_zero=False))
     t_f0, _ = timeit(f_l0, p_leaves, leaf_nodes, far0_idx, far0_valid)
     print(f"far_leaf kernel: {t_f0*1e3:.1f} ms (budget {args.far})", flush=True)
-    f_l0b = jax.jit(functools.partial(
-        far_field_pallas, g=1.0, softening=0.01, guard_zero=False,
-        bin_rows=n_leaves // 8, bin_budget=max(512, args.far // 2)))
-    t_f0b, outb = timeit(f_l0b, p_leaves, leaf_nodes, far0_idx, far0_valid)
-    print(f"far_leaf binned: {t_f0b*1e3:.1f} ms (bin overflow "
-          f"{int(outb[2])})", flush=True)
 
     # ---- phase 4c: near field
     f_nr = jax.jit(functools.partial(

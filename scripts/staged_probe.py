@@ -47,8 +47,7 @@ def main():
     ap.add_argument("--cand2", type=int, default=0)
     ap.add_argument("--multipole", type=int, default=2)
     ap.add_argument("--mode", default="both",
-                    choices=("both", "dense", "staged", "lists", "phases",
-                             "block"))
+                    choices=("both", "dense", "staged", "lists", "phases"))
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ic", default="plummer")
     args = ap.parse_args()
@@ -111,33 +110,6 @@ def main():
         print(f"rej2/target: mean {float(jnp.mean(jnp.sum(rej2,1))):.0f} "
               f"max {int(jnp.max(jnp.sum(rej2,1)))} (budget {cands[0]})",
               flush=True)
-
-    if args.mode == "block":
-        trav_b = jax.jit(functools.partial(bh.traverse, theta=args.theta,
-                                           stop_level=2, target_level=1))
-        t_tb, (fmb, rejb) = timeit(trav_b, tree, iters=args.iters)
-        rb = min(n_leaves, args.near + args.far)
-        bl = jax.jit(functools.partial(
-            bh.build_interaction_lists_block, theta=args.theta, start_leaf=0,
-            n_slice=n_leaves, near_budget=args.near, far_budget=args.far,
-            cand2_budget=cands[0], cand1_budget=cands[1],
-            resid_budget=rb, dtype=pos_s.dtype))
-        t_bl, (nib, nvb, fib, fvb, rib, rvb, _, ofb) = timeit(
-            bl, tree, fmb, rejb, iters=args.iters)
-        print(f"block: traverse {t_tb*1e3:.1f} ms + lists {t_bl*1e3:.1f} ms "
-              f"overflow={int(ofb)} "
-              f"near_mean={float(jnp.mean(jnp.sum(nvb,1))):.0f} "
-              f"near_max={int(jnp.max(jnp.sum(nvb,1)))} "
-              f"farblk_mean={float(jnp.mean(jnp.sum(fvb,1))):.0f} "
-              f"farblk_max={int(jnp.max(jnp.sum(fvb,1)))} "
-              f"resid_mean={float(jnp.mean(jnp.sum(rvb,1))):.0f} "
-              f"resid_max={int(jnp.max(jnp.sum(rvb,1)))}", flush=True)
-        whole = jax.jit(functools.partial(
-            bh.bh_accel, refine="block", cand_budgets=cands, **kw))
-        t, (acc, _, of) = timeit(whole, pos, mass, iters=args.iters)
-        print(f"TOTAL bh_accel[block]: {t*1e3:.1f} ms  overflow={int(of)}",
-              flush=True)
-        return
 
     if args.mode == "lists":
         return

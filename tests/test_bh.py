@@ -452,48 +452,6 @@ def test_near_kernel_shard_windows_sum_to_full():
                                rtol=1e-4, atol=1e-6)
 
 
-def test_far_kernel_binned_matches_unbinned():
-    """Count-sorted two-bin far evaluation: same result as the single call
-    when bin_budget covers every row, and a correct overflow count when it
-    clips (ops/pallas_bh.py far_field_pallas bin_rows/bin_budget)."""
-    from parallelnbody_tpu.ops.bh import (_prepare, traverse,
-                                          leaf_interactions)
-    from parallelnbody_tpu.ops.pallas_bh import far_field_pallas
-
-    pos, _, mass = _plummer(2048, seed=29)
-    pos_s, mass_s, _, tree, _, n_pad = _prepare(pos, mass, leaf_size=32,
-                                                curve="hilbert",
-                                                multipole_order=2)
-    n_leaves = n_pad // 32
-    _, rej = traverse(tree, 0.5)
-    _, _, f_idx, f_valid, _ = leaf_interactions(
-        tree, rej, 0.5, start_leaf=0, n_slice=n_leaves, near_budget=64,
-        far0_budget=256)
-    nodes = jnp.concatenate(
-        [tree.com[0], tree.mass[0][:, None], tree.quad[0]], axis=1)
-    tgt = pos_s.reshape(n_leaves, 32, 3)
-    full, fpot, of0 = far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0, 0.02,
-                                       False, interpret=True)
-    assert int(of0) == 0
-    counts = np.asarray(jnp.sum(f_valid, axis=1))
-    # generous bin budget: must be identical (row order restored) and of=0
-    b_acc, b_pot, of1 = far_field_pallas(
-        tgt, nodes, f_idx, f_valid, 1.0, 0.02, False, interpret=True,
-        bin_rows=8, bin_budget=int(counts.max()))
-    assert int(of1) == 0
-    np.testing.assert_allclose(np.asarray(b_acc), np.asarray(full),
-                               rtol=1e-6, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(b_pot), np.asarray(fpot),
-                               rtol=1e-6, atol=1e-9)
-    # tight bin budget: clipped entries counted exactly
-    bb = max(1, int(np.percentile(counts, 50)))
-    _, _, of2 = far_field_pallas(tgt, nodes, f_idx, f_valid, 1.0, 0.02,
-                                 False, interpret=True, bin_rows=8,
-                                 bin_budget=bb)
-    expect = np.maximum(np.sort(counts)[::-1][8:] - bb, 0).sum()
-    assert int(of2) == int(expect), (int(of2), int(expect))
-
-
 def test_far_eval_row_chunking_matches(monkeypatch):
     """The target-row chunking that bounds the gathered buffer (N=4M fix)
     must not change results: force tiny chunks and compare."""
@@ -635,6 +593,26 @@ def test_staged_matches_dense_forces():
     assert int(of_t) > 0
 
 
+def test_sectioned_evaluation_matches_unsectioned():
+    """Slice-sectioned evaluation (bh_sections > 1, the N=32M single-chip
+    capacity fix): each target window runs the same windowed traversal +
+    lists as the multi-chip slice path, so results AND the overflow
+    counter must be bitwise identical to the one-shot evaluation."""
+    pos, _, mass = _plummer(16384, seed=3, dtype="float64")
+    kw = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
+              near_budget=512, far0_budget=1024, multipole=2,
+              refine="staged")
+    a1, p1, of1 = bh_accel(pos, mass, sections=1, **kw)
+    a4, p4, of4 = bh_accel(pos, mass, sections=4, **kw)
+    assert int(of1) == int(of4)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a4))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p4))
+    # tight budgets: the overflow counter must agree between paths too
+    _, _, ot1 = bh_accel(pos, mass, sections=1, **(kw | {"near_budget": 8}))
+    _, _, ot4 = bh_accel(pos, mass, sections=4, **(kw | {"near_budget": 8}))
+    assert int(ot1) == int(ot4) > 0
+
+
 def test_staged_row_blocking_matches():
     """The lax.map row blocking that bounds staged gather temporaries must
     not change the lists."""
@@ -676,68 +654,6 @@ def test_sharded_bh_staged_matches_dense(eight_devices=None):
     out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
                                rtol=1e-7, atol=1e-10)
-
-
-def test_block_lists_cover_every_pair_exactly_once():
-    """Two-granularity (block) refinement coverage: for every target leaf,
-    the block-shared far list (weighted by node leaf counts), the per-leaf
-    residual far list, and the near list partition all source leaves."""
-    from parallelnbody_tpu.ops.bh import build_interaction_lists_block
-
-    pos, _, mass = _plummer(16384, seed=1, dtype="float64")
-    keys = morton_encode(pos, jnp.zeros(3), jnp.max(jnp.abs(pos)) + 1e-3)
-    perm = jnp.argsort(keys)
-    tree = build_tree(pos[perm], mass[perm], 32,
-                      jnp.asarray([10.0, 10.0, 10.0]))
-    n_leaves = tree.com[0].shape[0]
-    widths = [c.shape[0] for c in tree.com]
-    b1 = widths[0] // widths[1]
-    far, rej2 = traverse(tree, 0.5, stop_level=2, target_level=1)
-    (ni, nv, fi, fv, ri, rv, nodes_all, of) = build_interaction_lists_block(
-        tree, far, rej2, theta=0.5, start_leaf=0, n_slice=n_leaves,
-        near_budget=n_leaves, far_budget=2 * n_leaves,
-        cand2_budget=widths[2], cand1_budget=widths[1],
-        resid_budget=2 * n_leaves, dtype=jnp.float64)
-    assert int(of) == 0
-    w = np.zeros(sum(widths), np.int64)
-    off = 0
-    for k, wk in enumerate(widths):
-        w[off:off + wk] = n_leaves // wk
-        off += wk
-    far_cover = (w[np.asarray(fi)] * np.asarray(fv)).sum(1)   # per block
-    # residual ids are leaves OR level-1 nodes (hierarchical stage D)
-    cover = (np.asarray(nv).sum(1)
-             + (w[np.asarray(ri)] * np.asarray(rv)).sum(1)
-             + np.repeat(far_cover, b1))
-    np.testing.assert_array_equal(cover, n_leaves)
-    # near ids ascending per row (kernel segment-bounds requirement)
-    ni_np, nv_np = np.asarray(ni), np.asarray(nv)
-    for r in range(n_leaves):
-        row = ni_np[r][nv_np[r]]
-        assert np.all(np.diff(row) > 0)
-
-
-def test_block_mode_accuracy_matches_dense_class():
-    """Block refinement must be at least as accurate as dense (entries are
-    accepted at equal or finer granularity) and report starved budgets."""
-    pos, _, mass = _plummer(8192, seed=11, dtype="float64")
-    kwargs = dict(leaf_size=32, theta=0.6, g=1.0, softening=0.02,
-                  near_budget=512, far0_budget=1024, multipole=2)
-    acc_d, _ = direct_accel(pos, mass, g=1.0, softening=0.02)
-    den = float(jnp.sqrt(jnp.mean(jnp.sum(acc_d ** 2, 1))))
-    a_ref, _, of_ref = bh_accel(pos, mass, refine="dense", **kwargs)
-    a_b, _, of_b = bh_accel(pos, mass, refine="block", **kwargs)
-    assert int(of_ref) == 0 and int(of_b) == 0
-    rms_ref = float(jnp.sqrt(jnp.mean(jnp.sum((a_ref - acc_d) ** 2, 1)))) / den
-    rms_b = float(jnp.sqrt(jnp.mean(jnp.sum((a_b - acc_d) ** 2, 1)))) / den
-    assert rms_b <= rms_ref * 1.05, (rms_b, rms_ref)
-    # momentum conservation at the same class
-    f = np.asarray(jnp.sum(mass[:, None] * a_b, axis=0))
-    fscale = float(jnp.sum(mass * jnp.linalg.norm(a_b, axis=1)))
-    assert np.linalg.norm(f) / fscale < 2e-3
-    _, _, of_t = bh_accel(pos, mass, refine="block",
-                          cand_budgets=(2, 4), **kwargs)
-    assert int(of_t) > 0
 
 
 def test_padding_target_leaves_get_empty_lists():

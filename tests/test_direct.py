@@ -108,3 +108,22 @@ def test_direct_energy_virial_sanity():
     ke, pe = direct_energy(pos, vel, mass, g=1.0, softening=0.01)
     virial = float((2 * ke + pe) / abs(pe))
     assert abs(virial) < 0.1, f"virial ratio off: {virial}"
+
+
+def test_rms_force_error_sampler():
+    """The benchmark accuracy sampler (utils/accuracy.py, VERDICT r3 weak
+    #2): exact forces sample to ~zero error; a known relative perturbation
+    is recovered; non-divisible N exercises the source padding."""
+    from parallelnbody_tpu.utils.accuracy import rms_force_error_sample
+    from parallelnbody_tpu.config import SimConfig
+    from parallelnbody_tpu.models import get_ic
+
+    cfg = SimConfig(n=3000, softening=0.01)  # pads 3000 -> chunk multiple
+    pos, _, mass = get_ic("plummer")(jax.random.key(0), cfg)
+    acc, _ = direct_accel(pos, mass, g=1.0, softening=0.01)
+    r0 = rms_force_error_sample(pos, mass, acc, g=1.0, softening=0.01,
+                                k=512)
+    assert r0 < 1e-5, r0
+    r1 = rms_force_error_sample(pos, mass, acc * 1.001, g=1.0,
+                                softening=0.01, k=512)
+    np.testing.assert_allclose(r1, 1e-3, rtol=0.1)
