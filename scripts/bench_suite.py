@@ -157,6 +157,15 @@ def main():
                            bh_near_budget=512, bh_far_budget=3072,
                            bh_cand_budget=512, bh_cand2_budget=256,
                            track_potential=False, **common)))
+            # Slice-sectioned evaluation (bh_sections auto = 8 windows):
+            # unsectioned 32M wants 34.6 GB at compile vs 15.75 GB HBM.
+            cases.append(
+                ("Barnes-Hut n=33554432 single chip (staged, 8 sections)",
+                 SimConfig(n=33554432, force="barnes_hut", theta=0.72,
+                           bh_leaf_size=256, bh_refine="staged",
+                           bh_near_budget=512, bh_far_budget=3072,
+                           bh_cand_budget=512, bh_cand2_budget=256,
+                           track_potential=False, **common)))
 
     rows = []
     for name, cfg in cases:
