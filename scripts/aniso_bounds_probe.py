@@ -200,10 +200,10 @@ def main():
     prep = jax.jit(functools.partial(
         bh._prepare, leaf_size=args.leaf, curve="hilbert",
         multipole_order=2))
-    pos_s, mass_s, _, tree, _, n_pad = prep(pos, mass)
+    pos_s, mass_s, _, tree, _, _ = prep(pos, mass)
     ext_a, ext_b = jax.jit(functools.partial(
         node_aabbs, leaf_size=args.leaf))(pos_s, mass_s, tree=tree)
-    n_leaves = n_pad // args.leaf
+    n_leaves = int(tree.com[0].shape[0])
     print(f"backend={jax.default_backend()} n={args.n} ic={args.ic} "
           f"n_leaves={n_leaves}", flush=True)
 
