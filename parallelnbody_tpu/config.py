@@ -75,7 +75,7 @@ class SimConfig:
     bh_far_budget: int = 2816      # max far multipoles per target leaf
                                    # (overflow reported). Dense mode: leaf
                                    # multipoles only (N=1M theta=0.72 max
-                                   # ~1300). Staged/block: ALL far classes
+                                   # ~1300). Staged: ALL far classes
                                    # in one list — auto-leaf N=4M/8M
                                    # measured max 2547/2528, so the default
                                    # carries ~10% headroom over them.
@@ -113,7 +113,6 @@ class SimConfig:
                                    # which a per-node budget is always
                                    # enough), "gather" = per-node lists +
                                    # gathered-chunk kernels, "auto" = octet
-                                   # (block refine always uses gather)
     bh_sections: int = 0           # evaluate target leaves in this many
                                    # sequential windows (lax.map): the
                                    # traversal/list planes and their sort
@@ -198,11 +197,16 @@ class SimConfig:
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 
-    # Measured v5e crossover (BENCH_RESULTS.md): at N=262144 Barnes-Hut takes
-    # 151 ms/step vs 387 ms for the Pallas all-pairs kernel, and the O(N^2)/
-    # O(N log N) gap only widens above. Below ~1e5 the all-pairs kernel's
-    # simplicity (no lists, no budgets) and accuracy win.
-    AUTO_BH_CROSSOVER = 131072
+    # Measured v5e crossover (scripts/crossover_probe.py, plummer, shipped
+    # BH point quad theta=0.72, ms/step direct_pallas vs barnes_hut):
+    # 8192: 7.4 vs 8.3 | 16384: 7.7 vs 9.3 | 32768: 14.4 vs 11.8 |
+    # 65536: 29.1 vs 27.4 | 131072: 100.5 vs 41.3. Barnes-Hut wins from
+    # 32768 up and the O(N^2)/O(N log N) gap only widens above. Below the
+    # crossover the all-pairs kernel is both faster AND exact (BH at the
+    # default theta carries ~1e-3 rms) — callers who want BH-class speed
+    # with direct-sum accuracy at 32-65k should still pick force
+    # explicitly, where the two are within ~10-20%.
+    AUTO_BH_CROSSOVER = 32768
 
     def resolve_bh_leaf_size(self) -> int:
         """Resolve bh_leaf_size=0 to a measured-best size for this n (v5e:

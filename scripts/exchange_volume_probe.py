@@ -70,11 +70,17 @@ def main():
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--dt", type=float, default=0.002)
+    # Generous exchange capacities by default: at probe-scale shards
+    # (n/P ~ 2k) the collapse case clips own_cap at the default 0.25
+    # slack, and a table with nonzero overflow measures a broken run.
+    ap.add_argument("--own-slack", type=float, default=1.0)
+    ap.add_argument("--pair-slack", type=float, default=4.0)
     args = ap.parse_args()
 
     common = dict(n=args.n, force="barnes_hut", softening=0.01,
                   integrator="leapfrog", bh_leaf_size=64,
-                  bh_near_budget=1024, bh_far_budget=2048, dt=args.dt)
+                  bh_near_budget=1024, bh_far_budget=2048, dt=args.dt,
+                  bh_own_slack=args.own_slack, bh_pair_slack=args.pair_slack)
     run_case("plummer (virialized equilibrium)",
              SimConfig(ic="plummer", virialize=True, **common), args.steps)
     # Cold collapse: free-fall time ~1.1 at G=M=R=1; steps*dt runs through
