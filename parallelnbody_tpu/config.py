@@ -133,6 +133,24 @@ class SimConfig:
     bh_own_slack: float = 0.25     # distributed BH: owned key-range capacity
                                    # headroom over n_local (covers transient
                                    # imbalance between splitter updates)
+    bh_comm: str = "ring"          # distributed BH near-field exchange:
+                                   # "ring" = ppermute the full owned shard
+                                   # P-1 times (O(N/P) volume per pass, P
+                                   # near-kernel launches; robust ICI
+                                   # default), "let" = locally-essential
+                                   # import — one all_to_all fetches ONLY
+                                   # the source leaf tiles this rank's near
+                                   # lists reference (O(halo) volume, one
+                                   # near-kernel launch; the DCN-scale
+                                   # design: per-rank comm is the halo
+                                   # surface, not N)
+    bh_import_budget: int = 0      # let: per-owner-pair import capacity in
+                                   # LEAVES (0 = auto = a full neighbor rank
+                                   # width — always overflow-free; tune down
+                                   # toward the measured halo on DCN meshes,
+                                   # scripts/let_halo_probe.py). Missing
+                                   # imports are COUNTED into overflow at
+                                   # leaf granularity, never silent.
 
     # --- Pallas kernel tiling (256x2048 measured best on v5e) ---
     tile_i: int = 256
@@ -167,6 +185,13 @@ class SimConfig:
             raise ValueError(
                 f"bh_far_mode must be auto|octet|gather, "
                 f"got {self.bh_far_mode!r}")
+        if self.bh_comm not in ("ring", "let"):
+            raise ValueError(
+                f"bh_comm must be ring|let, got {self.bh_comm!r}")
+        if self.bh_import_budget < 0:
+            raise ValueError(
+                f"bh_import_budget must be >= 0 (0 = auto), "
+                f"got {self.bh_import_budget}")
         if self.bh_pair_slack <= 0:
             raise ValueError(
                 f"bh_pair_slack must be > 0 (it scales the distributed "

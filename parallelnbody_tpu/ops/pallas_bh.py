@@ -266,7 +266,8 @@ def _near_table_kernel(bnd_ref, idx_ref, tgt_ref, table_ref, out_ref, *,
 )
 def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
                       softening, guard_zero, interpret=False,
-                      compute_pot=True, seg_bytes=0, leaf_lo=None):
+                      compute_pot=True, seg_bytes=0, leaf_lo=None,
+                      src_t4=None):
     """Exact near field: targets (Ls, G, 3) against per-target lists of
     source leaves idx/valid (Ls, B) over the global sorted particles.
 
@@ -287,16 +288,28 @@ def near_field_pallas(pos_s, mass_s, tgt_leaves, idx, valid, leaf_size, g,
     entries outside the window are skipped by the same [lo, hi) position
     bounds (ascending lists make every window a contiguous run). This is the
     multi-chip ring-pass building block (parallel/distributed.py): each
-    ppermute pass evaluates the visiting shard's window."""
+    ppermute pass evaluates the visiting shard's window.
+
+    src_t4: optional pre-built (n_leaves, 4, G) source table — pos_s/mass_s
+    are then ignored (pass None). Used by the LET near field
+    (parallel/distributed.py _near_let), which assembles the table from
+    imported leaf tiles and must not round-trip through lane-padded (n, 3)
+    particle arrays. Entries whose idx falls beyond the table are skipped
+    by the same ascending [lo, hi) bounds (LET overflow handling)."""
     budget = idx.shape[1]
-    dtype = pos_s.dtype
-    n_leaves = pos_s.shape[0] // leaf_size
     n_slice = tgt_leaves.shape[0]
     leaf_lo = jnp.asarray(0 if leaf_lo is None else leaf_lo, jnp.int32)
 
-    # Source table: (n_leaves, 4, G) rows, 2x lane padding at worst.
-    p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
-    p_t4 = jnp.swapaxes(p4.reshape(n_leaves, leaf_size, 4), 1, 2)
+    if src_t4 is not None:
+        p_t4 = src_t4
+        n_leaves = src_t4.shape[0]
+        dtype = src_t4.dtype
+    else:
+        dtype = pos_s.dtype
+        n_leaves = pos_s.shape[0] // leaf_size
+        # Source table: (n_leaves, 4, G) rows, 2x lane padding at worst.
+        p4 = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
+        p_t4 = jnp.swapaxes(p4.reshape(n_leaves, leaf_size, 4), 1, 2)
 
     # Segment size: ~seg_bytes of VMEM per table segment (tests shrink it to
     # force the multi-segment path at small N). seg_bytes=0 = auto: 4 MB

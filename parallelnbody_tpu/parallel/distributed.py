@@ -30,11 +30,17 @@ design:
   3. **Sliced traversal + lists** for the rank's own aligned target window
      (ops/bh.py traverse/build_interaction_lists — target leaves ARE the
      local leaves, so no result gather is needed).
-  4. **Ring near field.** Near lists reference global leaf ids; the owned
-     particle tiles ppermute around the ring and each pass evaluates the
-     visiting shard's contiguous id window (near_field_pallas leaf_lo) —
-     the ascending front-packed lists make every window a [lo, hi) position
-     range. Peak per-chip particle memory stays O(N/P).
+  4. **Near field: ring or LET.** Near lists reference global leaf ids.
+     bh_comm="ring" (default): the owned particle tiles ppermute around the
+     ring and each pass evaluates the visiting shard's contiguous id window
+     (near_field_pallas leaf_lo) — the ascending front-packed lists make
+     every window a [lo, hi) position range. Peak per-chip particle memory
+     stays O(N/P), but per-rank comm volume is (P-1) x N/P x 16 B and the
+     near kernel launches P times. bh_comm="let": each rank imports ONLY
+     the leaf tiles its lists reference (the locally essential set) with
+     one request/response all_to_all pair and runs the kernel ONCE —
+     per-rank comm is the halo surface (measured ~1-2 neighbor widths,
+     scripts/let_halo_probe.py), the DCN-scale exchange (_near_let).
   5. **Reverse exchange.** (acc, pot) return to each particle's origin rank
      (carried global id), so the caller's state sharding is unchanged.
 
@@ -201,6 +207,111 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
         of_pair + of_own, n_migrants
 
 
+def _near_let(pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg, *,
+              rank, n_ranks, leaf_size, n_leaf_loc, axis, compute_pot,
+              use_pallas, eps2, guard_zero):
+    """Locally-essential near field: import ONLY the referenced leaf tiles.
+
+    The ring pass moves the full O(N/P) shard P-1 times and launches the
+    near kernel P times per force evaluation — per-rank comm volume grows
+    with N no matter how local the halo is. Here each rank derives the set
+    of source leaves its near lists actually reference (the locally
+    essential set), fetches the remote ones with ONE request/response
+    all_to_all pair, assembles a dense [needed leaves] tile table, remaps
+    the lists onto it (the map is monotone in global leaf id, so the
+    ascending front-packed invariant the kernel's [lo, hi) bounds rely on
+    is preserved), and runs the near kernel ONCE. Comm per rank is the halo
+    surface (measured: scripts/let_halo_probe.py / DESIGN.md §4), not N —
+    the DCN-scale design.
+
+    Static-shape honesty: per-owner-pair import capacity is
+    cfg.bh_import_budget leaves (0 = auto = n_leaf_loc, a full neighbor
+    width — always sufficient); the dense table holds
+    n_leaf_loc + (P-1)*cap_req rows. A leaf clipped by the capacity keeps
+    its dense slot but the row stays zero-mass (inert in the kernel:
+    zero-mass sources contribute nothing), and every missing leaf is
+    COUNTED into the returned overflow — degraded, never silent, fixed by
+    raising bh_import_budget.
+
+    Returns (acc, pot, overflow) for the rank's target window."""
+    dtype = pos_own.dtype
+    l_glob = n_ranks * n_leaf_loc
+    cap_req = min(cfg.bh_import_budget or n_leaf_loc, n_leaf_loc)
+    cap_table = n_leaf_loc + (n_ranks - 1) * cap_req
+    start = rank * n_leaf_loc
+
+    # ---- locally-essential set + dense slot numbering (cumsum over the
+    # global leaf-id axis: monotone, collision-free; clipped leaves keep
+    # inert zero-mass holes rather than renumbering).
+    flat = jnp.where(near_valid, near_idx, l_glob).reshape(-1)
+    needed = jnp.zeros((l_glob,), jnp.bool_).at[flat].set(True, mode="drop")
+    needed_pos = jnp.cumsum(needed.astype(jnp.int32)) - 1
+    n_needed = jnp.sum(needed, dtype=jnp.int32)
+
+    # ---- per-owner request slots. Global leaf ids are grouped by owner
+    # contiguously (rank r owns [r*n_leaf_loc, (r+1)*n_leaf_loc)), so the
+    # per-owner running count is a row cumsum — no sort, no gather.
+    own_block = jnp.arange(n_ranks, dtype=jnp.int32) == rank
+    mask_r = needed.reshape(n_ranks, n_leaf_loc) & ~own_block[:, None]
+    within = jnp.cumsum(mask_r.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(mask_r, axis=1, dtype=jnp.int32)
+    of_req = jnp.sum(jnp.maximum(counts - cap_req, 0))
+    slot = jnp.where(
+        mask_r & (within < cap_req),
+        jnp.arange(n_ranks, dtype=jnp.int32)[:, None] * cap_req + within,
+        n_ranks * cap_req).reshape(-1)
+    ids = jnp.arange(l_glob, dtype=jnp.int32)
+    req = jnp.full((n_ranks * cap_req,), -1, jnp.int32).at[slot].set(
+        ids, mode="drop")
+    req_in = lax.all_to_all(req, axis, 0, 0, tiled=True)
+
+    # ---- serve: full-lane (n, 4*G) row gathers from the owned tile table
+    # (132+ GB/s on v5e; never a per-particle 1-D gather).
+    p4 = jnp.concatenate([pos_own, mass_own[:, None]], axis=1)
+    rows = jnp.swapaxes(p4.reshape(n_leaf_loc, leaf_size, 4), 1, 2).reshape(
+        n_leaf_loc, 4 * leaf_size)
+    rel = jnp.clip(req_in - start, 0, n_leaf_loc - 1)
+    serve = rows[rel] * (req_in >= 0).astype(dtype)[:, None]
+    resp = lax.all_to_all(serve, axis, 0, 0, tiled=True)
+
+    # ---- assemble the dense table: imported tiles at their dense slots,
+    # own tiles copied in (zero comm). Rows never written stay zero-mass.
+    tpos = jnp.where(req >= 0,
+                     needed_pos[jnp.clip(req, 0, l_glob - 1)], cap_table)
+    table = jnp.zeros((cap_table, 4 * leaf_size), dtype).at[tpos].set(
+        resp, mode="drop")
+    own_pos = lax.dynamic_slice_in_dim(needed_pos, start, n_leaf_loc)
+    own_needed = lax.dynamic_slice_in_dim(needed, start, n_leaf_loc)
+    table = table.at[jnp.where(own_needed, own_pos, cap_table)].set(
+        rows, mode="drop")
+    of_table = jnp.maximum(n_needed - cap_table, 0)
+
+    # ---- remap lists onto dense slots (monotone -> still ascending
+    # front-packed; entries past cap_table are skipped by the kernel's
+    # bounds and counted above).
+    new_idx = jnp.where(near_valid,
+                        needed_pos[jnp.clip(near_idx, 0, l_glob - 1)], 0)
+
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+        acc, pot = near_field_pallas(
+            None, None, tgt_leaves, new_idx, near_valid, leaf_size,
+            cfg.g, float(cfg.softening), guard_zero,
+            interpret=jax.default_backend() != "tpu",
+            compute_pot=compute_pot,
+            src_t4=table.reshape(cap_table, 4, leaf_size))
+    else:
+        t = table.reshape(cap_table, 4, leaf_size)
+        pos_flat = jnp.swapaxes(t, 1, 2).reshape(cap_table * leaf_size, 4)
+        acc, pot = _near_field_jnp(
+            pos_flat[:, :3], pos_flat[:, 3], tgt_leaves,
+            jnp.minimum(new_idx, cap_table - 1),
+            near_valid & (new_idx < cap_table), leaf_size, cfg.g, eps2,
+            guard_zero)
+    return acc, pot, (of_req + of_table).astype(jnp.int32)
+
+
 def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
                   leaf_size, n_leaf_loc, axis, compute_pot=True):
     """Tree + lists + far kernels + ring near field for an owned (key-range)
@@ -279,8 +390,19 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
             far0_valid, g=cfg.g, softening=softening, use_pallas=use_pallas,
             compute_pot=compute_pot)
 
-    # ---- ring near field: shard tiles ppermute around the ring; pass p
-    # evaluates the window of leaves owned by rank (self - p) % P
+    # ---- near field: LET import (one all_to_all of the referenced leaf
+    # tiles + one kernel pass; O(halo) comm) or the ring (P-1 ppermutes of
+    # the full shard + P kernel passes; O(N/P) comm per pass).
+    if cfg.bh_comm == "let":
+        a, ph, of_imp = _near_let(
+            pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg,
+            rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
+            n_leaf_loc=n_leaf_loc, axis=axis, compute_pot=compute_pot,
+            use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
+        return acc + a, pot + ph, of_lists + of_imp
+
+    # ring: shard tiles ppermute around the ring; pass p evaluates the
+    # window of leaves owned by rank (self - p) % P
     sh_pos, sh_mass = pos_own, mass_own
     perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
     for p in range(n_ranks):

@@ -418,3 +418,79 @@ def test_distributed_bh_staged_refine(eight_devices):
     from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
 
     assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) == 0
+
+
+# --------------------------------------------------- LET near-field import
+def test_distributed_bh_let_matches_ring(eight_devices):
+    """bh_comm='let' (one all_to_all import of the referenced leaf tiles +
+    one near-kernel pass) must match the ring near field to summation-order
+    fp noise: both evaluate exactly the same near list against the same
+    source tiles, LET in list order, the ring in P owner-pass partial
+    sums."""
+    cfg = _dist_cfg(2048)
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    ref = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+    out = make_sharded_step(cfg.replace(bh_comm="let"), mesh)(
+        shard_state(state, mesh))
+    den = float(jnp.sqrt(jnp.mean(jnp.sum(ref.acc ** 2, 1))))
+    diff = float(jnp.sqrt(jnp.mean(jnp.sum((out.acc - ref.acc) ** 2, 1)))) / den
+    assert diff < 1e-6, diff
+
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    assert sharded_bh_overflow(cfg.replace(bh_comm="let"), mesh,
+                               shard_state(state, mesh)) == 0
+
+
+def test_distributed_bh_let_staged_any_rank_count(eight_devices):
+    """LET under staged refinement and a non-power-of-two rank count: the
+    dense slot remap must stay exact for any list construction and P."""
+    for n_dev in (3, 8):
+        cfg = _dist_cfg(256 * n_dev).replace(bh_comm="let",
+                                             bh_refine="staged")
+        mesh = make_ring_mesh(n_dev)
+        state = init_simulation(cfg)
+        ref = make_step(cfg.replace(bh_distributed=False,
+                                    bh_refine="dense"))(state)
+        out = make_sharded_step(cfg, mesh)(shard_state(state, mesh))
+        den = float(jnp.sqrt(jnp.mean(jnp.sum(ref.acc ** 2, 1))))
+        diff = float(jnp.sqrt(jnp.mean(
+            jnp.sum((out.acc - ref.acc) ** 2, 1)))) / den
+        assert diff < 2e-3, (n_dev, diff)
+
+
+def test_distributed_bh_let_import_overflow_reported(eight_devices):
+    """A starved bh_import_budget must COUNT the missing source leaves into
+    overflow (degraded forces are never silent) and still return finite
+    results — the un-imported tiles are inert zero-mass rows."""
+    from parallelnbody_tpu.parallel.sharded import sharded_bh_overflow
+
+    cfg = _dist_cfg(2048).replace(bh_comm="let", bh_import_budget=1)
+    mesh = make_ring_mesh(8)
+    state = init_simulation(cfg)
+    out, of = make_sharded_step(cfg, mesh, report_overflow=True)(
+        shard_state(state, mesh))
+    assert int(of) > 0
+    assert bool(jnp.all(jnp.isfinite(out.acc)))
+    assert sharded_bh_overflow(cfg, mesh, shard_state(state, mesh)) > 0
+
+
+def test_distributed_run_persistent_let(eight_devices):
+    """The persistent key-sharded run composes with bh_comm='let' (the
+    in-scan force evaluation imports through the same _forces_owned
+    branch); must track the ring persistent run to fp noise."""
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(1024)
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg, compute_forces=False), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    ref, of_r = make_distributed_run(cfg, mesh, 5)(state)
+    out, of_l = make_distributed_run(cfg.replace(bh_comm="let"), mesh,
+                                     5)(state)
+    assert int(of_r) == 0 and int(of_l) == 0
+    den = float(jnp.sqrt(jnp.mean(jnp.sum(ref.pos ** 2, 1))))
+    diff = float(jnp.sqrt(jnp.mean(jnp.sum((out.pos - ref.pos) ** 2, 1)))) / den
+    assert diff < 1e-5, diff
