@@ -1011,9 +1011,13 @@ def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
 
     "staged" needs >= 3 tree levels (falls back to dense). Auto candidate
     budgets: every refined level-1 candidate contributes its ~8 leaf
-    children to near/far0, so cand1 ~ (near + far) / 8; level-2 candidates
-    parent both the far1 accepts and the refined level-1 nodes, so
-    cand2 ~ cand1 / 4 covers the measured shapes with headroom."""
+    children to near/far0, so cand1 ~ (near + far) / 8. Level-2 reject
+    counts are GEOMETRY-bound (theta and the leaf-radius tail), not
+    budget-bound — measured per-target maxima at theta=0.72/quad/leaf-256
+    on plummer: 206 at N=4M (16k leaves), 185 at N=8M (32k leaves) — so
+    cand2 carries a measured floor of 256 (the r6 formula cand1/4 resolved
+    128 at the 4M budget shape and clipped 78 candidates, costing rms
+    0.197 vs 9.3e-4; caught by the bench-suite accuracy column)."""
     if refine not in ("dense", "staged"):
         raise ValueError(f"refine must be dense|staged (resolved), "
                          f"got {refine!r}")
@@ -1024,7 +1028,7 @@ def resolve_refine(refine, cand_budgets, n_levels, near_budget, far_budget):
         if c1 <= 0:
             c1 = max(128, -(-(near_budget + far_budget) // 8) + 127 & ~127)
         if c2 <= 0:
-            c2 = max(64, (c1 // 4) + 63 & ~63)
+            c2 = max(256, (c1 // 4) + 63 & ~63)
     return refine, (c2, c1)
 
 

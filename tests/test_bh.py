@@ -801,3 +801,23 @@ def test_far_octet_kernel_matches_jnp():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_j),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_resolve_refine_auto_cand2_measured_floor():
+    """Auto cand2 must cover the MEASURED level-2 reject maxima — they are
+    geometry-bound (theta + the leaf-radius tail), not budget-bound:
+    206/target at N=4M and 185 at N=8M (plummer, theta=0.72, quad,
+    leaf 256, near 512 / far 2816). The old cand1/4 formula resolved 128
+    for exactly that budget shape and silently benchmarked rms 0.197
+    instead of 9.3e-4 (78 clipped candidates charged 65536 each)."""
+    from parallelnbody_tpu.ops.bh import resolve_refine
+
+    refine, (c2, c1) = resolve_refine("staged", (0, 0), 8, 512, 2816)
+    assert refine == "staged"
+    assert c2 >= 256, (c2, "must cover the measured 206 l2-reject max")
+    # known-good galaxy-2M shape keeps its measured budgets
+    _, (c2g, c1g) = resolve_refine("staged", (0, 0), 7, 5120, 2048)
+    assert c1g == 896 and c2g >= 256
+    # explicit budgets are never overridden
+    _, (c2e, c1e) = resolve_refine("staged", (96, 320), 8, 512, 2816)
+    assert (c2e, c1e) == (96, 320)
