@@ -27,6 +27,7 @@ from parallelnbody_tpu.state import SimState, make_state
 from parallelnbody_tpu.models import get_ic
 from parallelnbody_tpu.ops.integrators import get_integrator
 from parallelnbody_tpu.ops import energy as energy_ops
+from parallelnbody_tpu.utils.cache import enable_compile_cache
 
 
 # --------------------------------------------------------------------- forces
@@ -86,6 +87,7 @@ def init_simulation(cfg: SimConfig, key: jax.Array | None = None,
     beyond one chip's memory: the caller shards the fresh state and fills
     acc/pot with parallel.sharded.sharded_init_accel instead (then
     virialize_state if cfg.virialize). cli.cmd_run does exactly this."""
+    enable_compile_cache(cfg.compile_cache_dir)
     if key is None:
         key = jax.random.key(cfg.seed)
     k_ic, k_state = jax.random.split(key)
@@ -110,6 +112,7 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     evaluations (zero for the direct methods). A state can start clipping at
     any step as the system evolves (e.g. a collapsing galaxy merger), so the
     t=0 budget audit alone is not a contract — this is (VERDICT r2 #4)."""
+    enable_compile_cache(cfg.compile_cache_dir)
     integrator = get_integrator(cfg.integrator)
 
     @jax.jit

@@ -77,3 +77,23 @@ def test_metrics_logger(tmp_path):
         m.log({"step": 2, "energy": -0.26})
     lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
     assert lines[1]["step"] == 2 and "wall_time" in lines[0]
+
+
+def test_compile_cache_config_wiring(tmp_path):
+    """cfg.compile_cache_dir routes to jax's persistent compilation cache
+    (idempotently); '' stays disabled. The 22x cold-process win is a TPU
+    measurement (utils/cache.py docstring) — here we pin the wiring."""
+    import jax
+
+    from parallelnbody_tpu.utils.cache import enable_compile_cache
+    from parallelnbody_tpu.config import SimConfig
+    from parallelnbody_tpu.api import init_simulation, make_step
+
+    d = str(tmp_path / "xla_cache")
+    cfg = SimConfig(n=64, force="direct", compile_cache_dir=d)
+    make_step(cfg)(init_simulation(cfg))
+    assert jax.config.jax_compilation_cache_dir == d
+    enable_compile_cache(d)  # idempotent re-enable
+    assert jax.config.jax_compilation_cache_dir == d
+    # config round-trips through JSON like every other field
+    assert SimConfig.from_json(cfg.to_json()).compile_cache_dir == d
