@@ -133,12 +133,168 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     return step
 
 
+def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
+    """bh_rebuild_every > 1 applies to the fused single-chip Barnes-Hut
+    octet path (the shipped auto). Everything else — direct forces,
+    sections > 1 (the >16M capacity path), far_mode=gather — rebuilds
+    every step regardless (the knob is perf-only; falling back never
+    changes physics)."""
+    if cfg.bh_rebuild_every <= 1 or n_steps <= 1:
+        return False
+    if cfg.resolve_force() != "barnes_hut":
+        return False
+    from parallelnbody_tpu.ops import bh
+
+    leaf = cfg.resolve_bh_leaf_size()
+    n_leaves, _, n_levels = bh.plan_tree(cfg.n, leaf, cfg.bh_max_levels)
+    refine, _ = bh.resolve_refine(
+        cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
+        n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
+    if bh.resolve_far_mode(cfg.bh_far_mode, refine) != "octet":
+        return False
+    return bh.resolve_sections(cfg.bh_sections, n_leaves, refine) == 1
+
+
+def _make_run_reuse(cfg: SimConfig, n_steps: int,
+                    report_overflow: bool) -> Callable:
+    """Fused run with a tree-rebuild interval (cfg.bh_rebuild_every = k):
+    the state is carried in Hilbert-sorted order; each block of k steps
+    pays ONE wide multi-operand sort + ONE traversal/list build, then k
+    evaluations that refresh only the multipole pyramid against the frozen
+    lists (ops/bh.py bh_plan_lists/bh_eval_lists); original particle order
+    is restored by a single exit sort keyed by a carried original-index
+    column. Measured v5e at k=8: -5% ms/step at N=1M, -9% at 4M/8M/2M-
+    galaxy, with sampled rms force error vs the direct sum unchanged at
+    the 1e-3 class (scripts/reuse_probe.py; docs/DESIGN.md r7).
+
+    The classic tree-code analogue: the reference rebuilds its pointer
+    octree every Tick (OctreeSearch.cpp:26-27) because a CPU rebuild is
+    cheap next to its traversal; here the geometry (sort + traversal +
+    lists) is ~5-10% of a step and particles move ~1e-3 leaf radii per
+    step, so freezing membership for k steps trades measured-negligible
+    accuracy for that slice."""
+    from parallelnbody_tpu.ops import bh
+    from parallelnbody_tpu.ops.hilbert import hilbert_encode
+    from parallelnbody_tpu.ops.morton import morton_encode
+
+    enable_compile_cache(cfg.compile_cache_dir)
+    integrator = get_integrator(cfg.integrator)
+    leaf = cfg.resolve_bh_leaf_size()
+    n = cfg.n
+    n_leaves, n_pad, n_levels = bh.plan_tree(n, leaf, cfg.bh_max_levels)
+    refine, cands = bh.resolve_refine(
+        cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
+        n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
+    use_pallas = bh.use_pallas_bh()
+    encode = hilbert_encode if cfg.bh_curve == "hilbert" else morton_encode
+    k = min(cfg.bh_rebuild_every, n_steps)
+    n_blocks, tail = divmod(n_steps, k)
+    compute_pot = cfg.track_potential
+    big = jnp.iinfo(jnp.int32).max
+
+    def sort_block(pos, vel, acc, mass, orig):
+        """Wide multi-operand re-sort into current Hilbert order (pad rows
+        — orig >= n — are excluded from the domain cube and keyed last)."""
+        live = orig < n
+        inf = jnp.asarray(jnp.inf, pos.dtype)
+        lo = jnp.min(jnp.where(live[:, None], pos, inf), axis=0)
+        hi = jnp.max(jnp.where(live[:, None], pos, -inf), axis=0)
+        center, half, _ = bh.domain_cube(lo, hi)
+        keys = jnp.where(live, encode(pos, center, half), big)
+        iota = jnp.arange(n_pad, dtype=jnp.int32)
+        (_, _, px, py, pz, vx, vy, vz, ax, ay, az, mass_s, orig_s) = \
+            jax.lax.sort(
+                (keys, iota, pos[:, 0], pos[:, 1], pos[:, 2],
+                 vel[:, 0], vel[:, 1], vel[:, 2],
+                 acc[:, 0], acc[:, 1], acc[:, 2], mass, orig),
+                num_keys=2)
+        return (jnp.stack([px, py, pz], 1), jnp.stack([vx, vy, vz], 1),
+                jnp.stack([ax, ay, az], 1), mass_s, orig_s)
+
+    def make_block(length):
+        def block(carry, _):
+            pos, vel, acc, pot, mass, orig, time, step, of = carry
+            pos_s, vel_s, acc_s, mass_s, orig_s = sort_block(
+                pos, vel, acc, mass, orig)
+            lo = jnp.min(pos_s[:n], axis=0)
+            hi = jnp.max(pos_s[:n], axis=0)
+            _, _, sentinel = bh.domain_cube(lo, hi)
+            tree = bh.build_tree(pos_s, mass_s, leaf, sentinel,
+                                 multipole_order=cfg.bh_multipole,
+                                 max_levels=cfg.bh_max_levels)
+            plan = bh.bh_plan_lists(
+                tree, theta=cfg.theta, near_budget=cfg.bh_near_budget,
+                far_budget=cfg.bh_far_budget, refine=refine,
+                cand_budgets=cands, dtype=pos.dtype)
+
+            def accel_fn(p):
+                return bh.bh_eval_lists(
+                    p, mass_s, plan, leaf_size=leaf, g=cfg.g,
+                    softening=cfg.softening, multipole=cfg.bh_multipole,
+                    max_levels=cfg.bh_max_levels, use_pallas=use_pallas,
+                    compute_pot=compute_pot, n_live=n)
+
+            dt = jnp.asarray(cfg.dt, pos.dtype)
+
+            def inner(c, _):
+                ps, vs, as_, pots, t, st = c
+                ps, vs, as_, pots = integrator(accel_fn, ps, vs, as_, pots, dt)
+                return (ps, vs, as_, pots, t + dt, st + 1), None
+
+            # pot enters as a carry placeholder only: every integrator
+            # returns pot from its final accel_fn call, so the first inner
+            # step overwrites it (blocks always have length >= 1).
+            (ps, vs, as_, pots, time, step), _ = jax.lax.scan(
+                inner, (pos_s, vel_s, acc_s, jnp.zeros(n_pad, pos.dtype),
+                        time, step), length=length)
+            return (ps, vs, as_, pots, mass_s, orig_s, time, step,
+                    of + plan.overflow), None
+        return block
+
+    @jax.jit
+    def run(state: SimState):
+        pad = n_pad - n
+        z3 = jnp.zeros((pad, 3), state.pos.dtype)
+        carry = (
+            jnp.concatenate([state.pos, z3], 0),
+            jnp.concatenate([state.vel, z3], 0),
+            jnp.concatenate([state.acc, z3], 0),
+            jnp.concatenate([state.pot, jnp.zeros(pad, state.pos.dtype)], 0),
+            jnp.concatenate([state.mass, jnp.zeros(pad, state.mass.dtype)], 0),
+            jnp.arange(n_pad, dtype=jnp.int32),
+            state.time, state.step, jnp.zeros((), jnp.int32),
+        )
+        carry, _ = jax.lax.scan(make_block(k), carry, length=n_blocks)
+        if tail:
+            carry, _ = make_block(tail)(carry, None)
+        pos, vel, acc, pot, _, orig, time, step, overflow = carry
+        # Exit unsort: orig is a permutation of [0, n_pad) so a single-key
+        # multi-operand sort restores the caller's particle order exactly.
+        (_, px, py, pz, vx, vy, vz, ax, ay, az, pot_o) = jax.lax.sort(
+            (orig, pos[:, 0], pos[:, 1], pos[:, 2],
+             vel[:, 0], vel[:, 1], vel[:, 2],
+             acc[:, 0], acc[:, 1], acc[:, 2], pot), num_keys=1)
+        out = state._replace(
+            pos=jnp.stack([px, py, pz], 1)[:n],
+            vel=jnp.stack([vx, vy, vz], 1)[:n],
+            acc=jnp.stack([ax, ay, az], 1)[:n],
+            pot=pot_o[:n], time=time, step=step)
+        return (out, overflow) if report_overflow else out
+
+    return run
+
+
 def make_run(cfg: SimConfig, n_steps: int,
              report_overflow: bool = False) -> Callable:
     """n_steps fused into a single jitted lax.scan (zero host round-trips).
 
     report_overflow=True: run(state) -> (state, overflow), overflow summed
-    over all steps (carried through the scan as an int32)."""
+    over all steps (carried through the scan as an int32).
+
+    cfg.bh_rebuild_every > 1 routes eligible Barnes-Hut configurations to
+    the tree-rebuild-interval run (_make_run_reuse)."""
+    if _reuse_eligible(cfg, n_steps):
+        return _make_run_reuse(cfg, n_steps, report_overflow)
     integrator = get_integrator(cfg.integrator)
 
     @jax.jit

@@ -144,6 +144,25 @@ class SimConfig:
                                    # near-kernel launch; the DCN-scale
                                    # design: per-rank comm is the halo
                                    # surface, not N)
+    bh_rebuild_every: int = 1      # rebuild the tree GEOMETRY (sort +
+                                   # traversal + interaction lists) every
+                                   # this many steps inside fused runs;
+                                   # between rebuilds only the multipole
+                                   # pyramid is refreshed from current
+                                   # positions and the frozen lists are
+                                   # re-evaluated (classic tree-code
+                                   # rebuild interval). Measured on v5e at
+                                   # k=8: -5% ms/step at N=1M, -9% at the
+                                   # staged scales, with sampled rms force
+                                   # error vs direct unchanged at 1e-3
+                                   # through 8+ reused steps at shipped dt
+                                   # (scripts/reuse_probe.py). Applies to
+                                   # make_run on the single-chip
+                                   # Barnes-Hut octet path (the auto);
+                                   # other paths (per-step make_step,
+                                   # sharded/distributed, sections > 1,
+                                   # far_mode=gather) rebuild every step
+                                   # regardless.
     bh_import_budget: int = 0      # let: per-owner-pair import capacity in
                                    # LEAVES (0 = auto = a full neighbor rank
                                    # width — always overflow-free; tune down
@@ -211,6 +230,10 @@ class SimConfig:
             raise ValueError(
                 f"bh_cand_budget/bh_cand2_budget must be >= 0 (0 = auto), "
                 f"got {self.bh_cand_budget}/{self.bh_cand2_budget}")
+        if self.bh_rebuild_every < 1:
+            raise ValueError(
+                f"bh_rebuild_every must be >= 1 (1 = rebuild every step), "
+                f"got {self.bh_rebuild_every}")
         if self.bh_sections < 0:
             raise ValueError(
                 f"bh_sections must be >= 0 (0 = auto), "

@@ -1202,6 +1202,95 @@ def bh_accel_target_slice(pos_all, mass_all, rank, n_ranks, *, leaf_size,
     return acc, pot, perm, overflow
 
 
+# ------------------------------------------------------------- list reuse
+class BHListPlan(NamedTuple):
+    """Frozen interaction lists for rebuild-interval reuse (bh_rebuild_every).
+
+    Built once per rebuild block from the tree at block-start positions;
+    re-evaluated against FRESH multipoles (bh_eval_lists rebuilds the
+    pyramid every step) while the list membership stays fixed. Valid for
+    any far_mode="octet" single-chip configuration (the shipped auto).
+    overflow is the list-build clip counter (reuse evaluations cannot clip
+    further: membership is frozen)."""
+
+    near_idx: jax.Array    # (n_leaves, near_budget) source-leaf ids
+    near_valid: jax.Array  # (n_leaves, near_budget) bool
+    far_keys: jax.Array    # (n_leaves, far_budget) (octet_id<<8)|child_mask
+    far_valid: jax.Array   # (n_leaves, far_budget) bool
+    overflow: jax.Array    # () int32
+
+
+def bh_plan_lists(tree: BHTree, *, theta, near_budget, far_budget,
+                  refine, cand_budgets, dtype) -> BHListPlan:
+    """Traverse + build the octet-far interaction lists for ALL target
+    leaves of `tree` — the geometry half of bh_accel, shared by the
+    rebuild-interval runs (api._make_run_reuse) and scripts/reuse_probe.py.
+    refine/cand_budgets must arrive resolved (resolve_refine)."""
+    n_leaves = tree.com[0].shape[0]
+    stop = 1 if refine == "dense" else 2
+    far_masks, rejects = traverse(tree, theta, stop_level=stop)
+    if refine == "staged":
+        near_idx, near_valid, far_keys, far_valid, _, of = \
+            build_interaction_lists_staged(
+                tree, far_masks, rejects, theta=theta, start_leaf=0,
+                n_slice=n_leaves, near_budget=near_budget,
+                far_budget=far_budget, cand2_budget=cand_budgets[0],
+                cand1_budget=cand_budgets[1], dtype=dtype, octet_far=True)
+    else:
+        near_idx, near_valid, far_keys, far_valid, _, of = \
+            build_interaction_lists_octet(
+                tree, far_masks, rejects, theta=theta, start_leaf=0,
+                n_slice=n_leaves, near_budget=near_budget,
+                far_budget=far_budget, dtype=dtype)
+    return BHListPlan(near_idx, near_valid, far_keys, far_valid,
+                      of.astype(jnp.int32))
+
+
+def bh_eval_lists(pos_s, mass_s, plan: BHListPlan, *, leaf_size, g,
+                  softening, multipole, max_levels, use_pallas, compute_pot,
+                  n_live):
+    """Evaluate frozen lists at CURRENT sorted positions: fresh multipole
+    pyramid (build_tree reshape-reductions — the cheap, mass-distribution
+    half of the geometry) + the near/far kernels; no sort, no traversal, no
+    list build, no unsort. Returns (acc (n_pad, 3), pot (n_pad,)) in sorted
+    order. n_live: count of real rows (pads sit at rows [n_live:] in sorted
+    order and must not widen the domain cube).
+
+    Measured (scripts/reuse_probe.py, v5e): skipping the geometry is -5%
+    per eval at N=1M dense-256 (231.8 -> 217.9 ms), -9..-11% at the staged
+    scales (4M 913->817, 8M 2052->1842, 2M galaxy 567->508), while the
+    frozen lists stay essentially exact for O(10) steps at shipped dt
+    (vs-direct rms unchanged at 1e-3 through 8 reused steps; the reuse-vs-
+    fresh component stays 3-9e-4, below the MAC error)."""
+    dtype = pos_s.dtype
+    n_pad = pos_s.shape[0]
+    n_leaves = n_pad // leaf_size
+    lo = jnp.min(pos_s[:n_live], axis=0)
+    hi = jnp.max(pos_s[:n_live], axis=0)
+    _, _, sentinel = domain_cube(lo, hi)
+    tree = build_tree(pos_s, mass_s, leaf_size, sentinel,
+                      multipole_order=multipole, max_levels=max_levels)
+    nodes8 = _nodes_all_octet(tree, dtype)
+    tgt = pos_s.reshape(n_leaves, leaf_size, 3)
+    acc, pot = _eval_far_octet(
+        tgt, nodes8, plan.far_keys, plan.far_valid, g=g, softening=softening,
+        use_pallas=use_pallas, compute_pot=compute_pot)
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+        a, ph = near_field_pallas(
+            pos_s, mass_s, tgt, plan.near_idx, plan.near_valid, leaf_size,
+            g, float(softening), softening == 0.0,
+            interpret=jax.default_backend() != "tpu",
+            compute_pot=compute_pot)
+    else:
+        eps2 = jnp.asarray(softening, dtype) ** 2
+        a, ph = _near_field_jnp(pos_s, mass_s, tgt, plan.near_idx,
+                                plan.near_valid, leaf_size, g, eps2,
+                                softening == 0.0)
+    return (acc + a).reshape(n_pad, 3), (pot + ph).reshape(n_pad)
+
+
 def slice_row_of_sorted(sorted_idx, n_leaves, n_ranks, leaf_size):
     """Row in the rank-concatenated slice results for each sorted index.
 
