@@ -2,7 +2,8 @@
 plus the Barnes-Hut N=1M north star (ms/step AND measured rms force error).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"vs_chip_roofline", "bh_1m_ms_per_step", "bh_1m_rms_force_error"}.
+"vs_chip_roofline", "bh_1m_ms_per_step", "bh_1m_rms_force_error",
+"bh_1m_rebuild8_ms_per_step"}.
 vs_baseline is measured against the BASELINE.md north-star target of 1e12
 pairwise interactions/sec/chip (the reference publishes no numbers —
 SURVEY.md §6). vs_chip_roofline carries the chip-bound context: the kernel
@@ -91,7 +92,28 @@ def bh_case():
     ms = (time.perf_counter() - t0) / iters * 1e3
     rms = rms_force_error_sample(state.pos, state.mass, state.acc,
                                  g=cfg.g, softening=cfg.softening)
-    return {"bh_1m_ms_per_step": ms, "bh_1m_rms_force_error": rms}
+    out = {"bh_1m_ms_per_step": ms, "bh_1m_rms_force_error": rms}
+    try:
+        out["bh_1m_rebuild8_ms_per_step"] = bh_reuse_case(cfg, state)
+    except Exception:
+        pass
+    return out
+
+
+def bh_reuse_case(cfg, state, k=8, n_steps=16):
+    """The same N=1M operating point through make_run with a tree-rebuild
+    interval of 8 (bh_rebuild_every; frozen interaction lists between
+    rebuilds — measured rms vs direct unchanged, DESIGN.md §3 r7). This is
+    the production fused-run configuration; ~217 ms/step vs ~238 per-step."""
+    from parallelnbody_tpu.api import make_run
+
+    run = make_run(cfg.replace(bh_rebuild_every=k), n_steps)
+    out = run(state)
+    sync(out)  # compile + first block
+    t0 = time.perf_counter()
+    out = run(state)
+    sync(out)
+    return (time.perf_counter() - t0) / n_steps * 1e3
 
 
 def run_case(cfg, n, backend, extra=None):

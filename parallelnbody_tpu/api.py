@@ -135,10 +135,10 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
 
 def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
     """bh_rebuild_every > 1 applies to the fused single-chip Barnes-Hut
-    octet path (the shipped auto). Everything else — direct forces,
-    sections > 1 (the >16M capacity path), far_mode=gather — rebuilds
-    every step regardless (the knob is perf-only; falling back never
-    changes physics)."""
+    octet path (the shipped auto), sectioned (>16M) scales included.
+    Everything else — direct forces, far_mode=gather — rebuilds every step
+    regardless (the knob is perf-only; falling back never changes
+    physics)."""
     if cfg.bh_rebuild_every <= 1 or n_steps <= 1:
         return False
     if cfg.resolve_force() != "barnes_hut":
@@ -146,13 +146,11 @@ def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
     from parallelnbody_tpu.ops import bh
 
     leaf = cfg.resolve_bh_leaf_size()
-    n_leaves, _, n_levels = bh.plan_tree(cfg.n, leaf, cfg.bh_max_levels)
+    _, _, n_levels = bh.plan_tree(cfg.n, leaf, cfg.bh_max_levels)
     refine, _ = bh.resolve_refine(
         cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
         n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
-    if bh.resolve_far_mode(cfg.bh_far_mode, refine) != "octet":
-        return False
-    return bh.resolve_sections(cfg.bh_sections, n_leaves, refine) == 1
+    return bh.resolve_far_mode(cfg.bh_far_mode, refine) == "octet"
 
 
 def _make_run_reuse(cfg: SimConfig, n_steps: int,
@@ -186,6 +184,7 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
         cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
         n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
     use_pallas = bh.use_pallas_bh()
+    sections = bh.resolve_sections(cfg.bh_sections, n_leaves, refine)
     encode = hilbert_encode if cfg.bh_curve == "hilbert" else morton_encode
     k = min(cfg.bh_rebuild_every, n_steps)
     n_blocks, tail = divmod(n_steps, k)
@@ -225,14 +224,14 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
             plan = bh.bh_plan_lists(
                 tree, theta=cfg.theta, near_budget=cfg.bh_near_budget,
                 far_budget=cfg.bh_far_budget, refine=refine,
-                cand_budgets=cands, dtype=pos.dtype)
+                cand_budgets=cands, dtype=pos.dtype, sections=sections)
 
             def accel_fn(p):
                 return bh.bh_eval_lists(
                     p, mass_s, plan, leaf_size=leaf, g=cfg.g,
                     softening=cfg.softening, multipole=cfg.bh_multipole,
                     max_levels=cfg.bh_max_levels, use_pallas=use_pallas,
-                    compute_pot=compute_pot, n_live=n)
+                    compute_pot=compute_pot, n_live=n, sections=sections)
 
             dt = jnp.asarray(cfg.dt, pos.dtype)
 

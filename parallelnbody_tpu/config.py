@@ -158,11 +158,12 @@ class SimConfig:
                                    # through 8+ reused steps at shipped dt
                                    # (scripts/reuse_probe.py). Applies to
                                    # make_run on the single-chip
-                                   # Barnes-Hut octet path (the auto);
+                                   # Barnes-Hut octet path (the auto),
+                                   # including sectioned >16M scales
+                                   # (windowed plan, full-width lists);
                                    # other paths (per-step make_step,
-                                   # sharded/distributed, sections > 1,
-                                   # far_mode=gather) rebuild every step
-                                   # regardless.
+                                   # sharded/distributed, far_mode=gather)
+                                   # rebuild every step regardless.
     bh_import_budget: int = 0      # let: per-owner-pair import capacity in
                                    # LEAVES (0 = auto = a full neighbor rank
                                    # width — always overflow-free; tune down

@@ -1221,40 +1221,66 @@ class BHListPlan(NamedTuple):
 
 
 def bh_plan_lists(tree: BHTree, *, theta, near_budget, far_budget,
-                  refine, cand_budgets, dtype) -> BHListPlan:
+                  refine, cand_budgets, dtype, sections=1) -> BHListPlan:
     """Traverse + build the octet-far interaction lists for ALL target
     leaves of `tree` — the geometry half of bh_accel, shared by the
     rebuild-interval runs (api._make_run_reuse) and scripts/reuse_probe.py.
-    refine/cand_budgets must arrive resolved (resolve_refine)."""
+    refine/cand_budgets must arrive resolved (resolve_refine).
+
+    sections > 1 (resolve_sections — the >16M capacity path): the traversal
+    planes and list-build intermediates are sized per target WINDOW exactly
+    as in sectioned bh_accel, while the returned plan is full-width — the
+    builders emit global source ids, so per-window lists concatenate into
+    the same plan the unsectioned build produces. The FINAL lists are the
+    cheap part (N=32M: ~2.4 GB at the shipped budgets vs the 34.6 GB
+    unsectioned *build* ask), which is what makes list reuse available to
+    the sectioned scales at all."""
     n_leaves = tree.com[0].shape[0]
     stop = 1 if refine == "dense" else 2
-    far_masks, rejects = traverse(tree, theta, stop_level=stop)
-    if refine == "staged":
-        near_idx, near_valid, far_keys, far_valid, _, of = \
-            build_interaction_lists_staged(
-                tree, far_masks, rejects, theta=theta, start_leaf=0,
-                n_slice=n_leaves, near_budget=near_budget,
+
+    def window(start, n_slice):
+        far_masks, rejects = traverse(tree, theta, start_leaf=start,
+                                      n_slice=n_slice, stop_level=stop)
+        if refine == "staged":
+            ni, nv, fk, fv, _, of = build_interaction_lists_staged(
+                tree, far_masks, rejects, theta=theta, start_leaf=start,
+                n_slice=n_slice, near_budget=near_budget,
                 far_budget=far_budget, cand2_budget=cand_budgets[0],
                 cand1_budget=cand_budgets[1], dtype=dtype, octet_far=True)
-    else:
-        near_idx, near_valid, far_keys, far_valid, _, of = \
-            build_interaction_lists_octet(
-                tree, far_masks, rejects, theta=theta, start_leaf=0,
-                n_slice=n_leaves, near_budget=near_budget,
+        else:
+            ni, nv, fk, fv, _, of = build_interaction_lists_octet(
+                tree, far_masks, rejects, theta=theta, start_leaf=start,
+                n_slice=n_slice, near_budget=near_budget,
                 far_budget=far_budget, dtype=dtype)
-    return BHListPlan(near_idx, near_valid, far_keys, far_valid,
-                      of.astype(jnp.int32))
+        return ni, nv, fk, fv, of.astype(jnp.int32)
+
+    if sections == 1:
+        ni, nv, fk, fv, of = window(0, n_leaves)
+    else:
+        w = n_leaves // sections
+        ni, nv, fk, fv, ofs = jax.lax.map(
+            lambda i: window(i * w, w),
+            jnp.arange(sections, dtype=jnp.int32))
+        ni = ni.reshape(n_leaves, -1)
+        nv = nv.reshape(n_leaves, -1)
+        fk = fk.reshape(n_leaves, -1)
+        fv = fv.reshape(n_leaves, -1)
+        of = jnp.sum(ofs).astype(jnp.int32)
+    return BHListPlan(ni, nv, fk, fv, of)
 
 
 def bh_eval_lists(pos_s, mass_s, plan: BHListPlan, *, leaf_size, g,
                   softening, multipole, max_levels, use_pallas, compute_pot,
-                  n_live):
+                  n_live, sections=1):
     """Evaluate frozen lists at CURRENT sorted positions: fresh multipole
     pyramid (build_tree reshape-reductions — the cheap, mass-distribution
     half of the geometry) + the near/far kernels; no sort, no traversal, no
     list build, no unsort. Returns (acc (n_pad, 3), pot (n_pad,)) in sorted
     order. n_live: count of real rows (pads sit at rows [n_live:] in sorted
-    order and must not widen the domain cube).
+    order and must not widen the domain cube). sections > 1 evaluates the
+    target windows in a lax.map like sectioned bh_accel (measured free —
+    CLAUDE.md r6), bounding the per-window kernel operands at the >16M
+    scales; physics identical to the unsectioned eval.
 
     Measured (scripts/reuse_probe.py, v5e): skipping the geometry is -5%
     per eval at N=1M dense-256 (231.8 -> 217.9 ms), -9..-11% at the staged
@@ -1272,23 +1298,43 @@ def bh_eval_lists(pos_s, mass_s, plan: BHListPlan, *, leaf_size, g,
                       multipole_order=multipole, max_levels=max_levels)
     nodes8 = _nodes_all_octet(tree, dtype)
     tgt = pos_s.reshape(n_leaves, leaf_size, 3)
-    acc, pot = _eval_far_octet(
-        tgt, nodes8, plan.far_keys, plan.far_valid, g=g, softening=softening,
-        use_pallas=use_pallas, compute_pot=compute_pot)
-    if use_pallas:
-        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
 
-        a, ph = near_field_pallas(
-            pos_s, mass_s, tgt, plan.near_idx, plan.near_valid, leaf_size,
-            g, float(softening), softening == 0.0,
-            interpret=jax.default_backend() != "tpu",
-            compute_pot=compute_pot)
+    def eval_window(tgt_w, ni, nv, fk, fv):
+        acc, pot = _eval_far_octet(
+            tgt_w, nodes8, fk, fv, g=g, softening=softening,
+            use_pallas=use_pallas, compute_pot=compute_pot)
+        if use_pallas:
+            from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+            a, ph = near_field_pallas(
+                pos_s, mass_s, tgt_w, ni, nv, leaf_size,
+                g, float(softening), softening == 0.0,
+                interpret=jax.default_backend() != "tpu",
+                compute_pot=compute_pot)
+        else:
+            eps2 = jnp.asarray(softening, dtype) ** 2
+            a, ph = _near_field_jnp(pos_s, mass_s, tgt_w, ni, nv,
+                                    leaf_size, g, eps2, softening == 0.0)
+        return acc + a, pot + ph
+
+    if sections == 1:
+        acc, pot = eval_window(tgt, plan.near_idx, plan.near_valid,
+                               plan.far_keys, plan.far_valid)
     else:
-        eps2 = jnp.asarray(softening, dtype) ** 2
-        a, ph = _near_field_jnp(pos_s, mass_s, tgt, plan.near_idx,
-                                plan.near_valid, leaf_size, g, eps2,
-                                softening == 0.0)
-    return (acc + a).reshape(n_pad, 3), (pot + ph).reshape(n_pad)
+        w = n_leaves // sections
+
+        def section_fn(i):
+            s = i * w
+            return eval_window(
+                jax.lax.dynamic_slice_in_dim(tgt, s, w, 0),
+                jax.lax.dynamic_slice_in_dim(plan.near_idx, s, w, 0),
+                jax.lax.dynamic_slice_in_dim(plan.near_valid, s, w, 0),
+                jax.lax.dynamic_slice_in_dim(plan.far_keys, s, w, 0),
+                jax.lax.dynamic_slice_in_dim(plan.far_valid, s, w, 0))
+
+        acc, pot = jax.lax.map(section_fn,
+                               jnp.arange(sections, dtype=jnp.int32))
+    return acc.reshape(n_pad, 3), pot.reshape(n_pad)
 
 
 def slice_row_of_sorted(sorted_idx, n_leaves, n_ranks, leaf_size):

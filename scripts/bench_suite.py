@@ -73,6 +73,38 @@ def measure(cfg: SimConfig, iters: int = 5) -> dict:
     return out
 
 
+def measure_reuse(cfg: SimConfig, k: int = 8, n_steps: int = 16) -> dict:
+    """The same operating point through make_run with a tree-rebuild
+    interval (bh_rebuild_every=k): one sort + traversal + list build per
+    block of k steps, multipole pyramid refreshed every step (DESIGN.md §3
+    r7). rms is measured on the final state's own forces — the accuracy the
+    reused-list trajectory actually integrated with."""
+    from parallelnbody_tpu.api import _reuse_eligible, make_run
+    from parallelnbody_tpu.utils.accuracy import rms_force_error_sample
+
+    cfg = cfg.replace(bh_rebuild_every=k)
+    if not _reuse_eligible(cfg, n_steps):
+        raise ValueError("config not eligible for bh_rebuild_every")
+    t0 = time.perf_counter()
+    state = init_simulation(cfg)
+    run = make_run(cfg, n_steps, report_overflow=True)
+    out, of = run(state)
+    force_sync(out.time)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, of = run(state)
+    force_sync(out.time)
+    dt = (time.perf_counter() - t0) / n_steps
+    return {
+        "n": cfg.n, "force": cfg.resolve_force(), "rebuild_every": k,
+        "ms_per_step": dt * 1e3, "steps_per_sec": 1.0 / dt,
+        "compile_plus_first_s": t_compile,
+        "overflow": int(of),
+        "rms_force_error": rms_force_error_sample(
+            out.pos, out.mass, out.acc, g=cfg.g, softening=cfg.softening),
+    }
+
+
 def measure_sharded(cfg: SimConfig, n_dev: int, iters: int = 5) -> dict:
     """Sharded-step measurement over an n_dev ring mesh (VERDICT r2 #4):
     first contact with real multi-chip hardware is this one function /
@@ -105,6 +137,9 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small sizes only")
     ap.add_argument("--xl", action="store_true",
                     help="include the N=16M single-chip case (~10 min extra)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="add bh_rebuild_every=8 make_run rows for the "
+                         "eligible BH cases (~3 min compile each)")
     ap.add_argument("--out", default="BENCH_RESULTS.md")
     args = ap.parse_args()
 
@@ -192,6 +227,23 @@ def main():
             r = {"name": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
         rows.append(r)
         print(json.dumps(r), flush=True)
+
+    if args.reuse:
+        from parallelnbody_tpu.api import _reuse_eligible
+
+        for name, cfg in cases:
+            if not _reuse_eligible(cfg.replace(bh_rebuild_every=8), 16):
+                continue
+            rname = f"{name} + rebuild interval 8 (make_run)"
+            print(f"... {rname}", file=sys.stderr, flush=True)
+            try:
+                r = measure_reuse(cfg)
+                r["name"] = rname
+            except Exception as e:
+                r = {"name": rname,
+                     "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            rows.append(r)
+            print(json.dumps(r), flush=True)
 
     # Sharded case: every visible device in one ring (skipped on one chip —
     # this rig tunnels a single TPU; on a real slice it runs unmodified).

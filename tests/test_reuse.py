@@ -93,12 +93,33 @@ def test_other_integrator_and_padded_n():
 
 def test_eligibility_gates():
     assert _reuse_eligible(_cfg(bh_rebuild_every=8), 16)
+    # Sectioned (>16M-class) configs are eligible: windowed plan,
+    # full-width frozen lists, sectioned eval.
+    assert _reuse_eligible(
+        _cfg(n=4096, bh_leaf_size=64, bh_refine="staged", bh_sections=2,
+             bh_rebuild_every=8), 16)
     # k=1, single step, non-BH force, gather far mode: all fall back.
     assert not _reuse_eligible(_cfg(), 16)
     assert not _reuse_eligible(_cfg(bh_rebuild_every=8), 1)
     assert not _reuse_eligible(_cfg(bh_rebuild_every=8, force="direct"), 16)
     assert not _reuse_eligible(
         _cfg(bh_rebuild_every=8, bh_far_mode="gather"), 16)
+
+
+def test_sectioned_reuse_bitwise():
+    # Sections > 1 (the >16M capacity path, forced at tiny N with staged
+    # refine): windowed plan + sectioned eval must reproduce the per-step
+    # sectioned run bitwise at static positions, with zero overflow.
+    cfg = _cfg(n=4096, dt=1e-12, bh_leaf_size=64, bh_refine="staged",
+               bh_sections=2, bh_near_budget=64, bh_far_budget=256)
+    state = init_simulation(cfg)
+    s1, of1 = make_run(cfg, 6, report_overflow=True)(state)
+    s2, of2 = make_run(cfg.replace(bh_rebuild_every=3), 6,
+                       report_overflow=True)(state)
+    assert int(of1) == 0 and int(of2) == 0
+    assert bool(jnp.all(s1.pos == s2.pos))
+    assert bool(jnp.all(s1.vel == s2.vel))
+    assert bool(jnp.all(s1.acc == s2.acc))
 
 
 def test_fallback_still_runs(state2k):
