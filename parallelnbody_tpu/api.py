@@ -133,12 +133,22 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     return step
 
 
+# Measured v5e reuse capacity boundary: N=16M (16777216 padded rows,
+# 65536 leaves at 256) runs the rebuild-interval block with the full-width
+# frozen lists resident (-8% vs per-step, overflow 0); N=32M fails with a
+# TPU device error at BOTH 8 and 16 plan sections — the failure scales
+# with the resident set (lists ~2.4 GB + the 13-column blocked-scan carry
+# + sort transients on top of the per-step footprint), not the per-window
+# intermediates. Beyond this, fused runs keep per-step rebuilds.
+_REUSE_MAX_ROWS = 16777216
+
+
 def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
     """bh_rebuild_every > 1 applies to the fused single-chip Barnes-Hut
-    octet path (the shipped auto), sectioned (>16M) scales included.
-    Everything else — direct forces, far_mode=gather — rebuilds every step
-    regardless (the knob is perf-only; falling back never changes
-    physics)."""
+    octet path (the shipped auto), sectioned configurations included up to
+    the measured _REUSE_MAX_ROWS capacity boundary. Everything else —
+    direct forces, far_mode=gather, >16M — rebuilds every step regardless
+    (the knob is perf-only; falling back never changes physics)."""
     if cfg.bh_rebuild_every <= 1 or n_steps <= 1:
         return False
     if cfg.resolve_force() != "barnes_hut":
@@ -146,7 +156,9 @@ def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
     from parallelnbody_tpu.ops import bh
 
     leaf = cfg.resolve_bh_leaf_size()
-    _, _, n_levels = bh.plan_tree(cfg.n, leaf, cfg.bh_max_levels)
+    _, n_pad, n_levels = bh.plan_tree(cfg.n, leaf, cfg.bh_max_levels)
+    if n_pad > _REUSE_MAX_ROWS:
+        return False
     refine, _ = bh.resolve_refine(
         cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
         n_levels, cfg.bh_near_budget, cfg.bh_far_budget)
