@@ -1469,7 +1469,13 @@ def make_bh_accel(cfg, mass, overflow_cell=None):
     evaluations). Without it the counter is dropped, which violates the
     module contract ("overflow is reported, never silently dropped") for
     any state that only starts clipping mid-run — api.make_step/make_run
-    thread it through the step/scan when report_overflow=True."""
+    thread it through the step/scan when report_overflow=True.
+
+    The counter is an UPPER BOUND on lost interaction entries, not an exact
+    count: staged/octet clipping multiplies clipped candidates by their
+    worst-case subtree width (build_interaction_lists_staged). Zero means
+    exactly zero clipping; a nonzero value says "raise the budgets" without
+    promising the precise number of dropped entries."""
     use_pallas = use_pallas_bh()
 
     def accel_fn(pos):
