@@ -21,6 +21,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from parallelnbody_tpu.config import SimConfig
 from parallelnbody_tpu.state import SimState, make_state
@@ -95,7 +96,15 @@ def init_simulation(cfg: SimConfig, key: jax.Array | None = None,
     state = make_state(pos, vel, mass, key=k_state, dtype=jnp.dtype(cfg.dtype))
     if not compute_forces:
         return state
-    accel_fn = make_accel_fn(cfg, state.mass)
+    accel_cfg = cfg
+    if cfg.virialize and not cfg.track_potential:
+        # virialize_state needs the REAL potential: with the run's own
+        # track_potential=False the BH/Pallas paths return pot=0, and the
+        # rescale would silently crush velocities to ~sqrt(1e-30/2K).
+        # Force it on for this one t=0 evaluation only (make_step keeps
+        # the run's setting).
+        accel_cfg = cfg.replace(track_potential=True)
+    accel_fn = make_accel_fn(accel_cfg, state.mass)
     acc, pot = accel_fn(state.pos)
     state = state._replace(acc=acc, pot=pot)
     if cfg.virialize:
@@ -222,8 +231,16 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
         return (jnp.stack([px, py, pz], 1), jnp.stack([vx, vy, vz], 1),
                 jnp.stack([ax, ay, az], 1), mass_s, orig_s)
 
-    def make_block(length):
-        def block(carry, _):
+    def make_block():
+        def block(carry, dt_mask):
+            # dt_mask: (k,) per-step dt scale factors. Every block runs the
+            # SAME traced body (k inner steps); a tail of t < k live steps
+            # is a mask row [1]*t + [0]*(k-t) — a dt=0 step is an exact
+            # no-op for pos/vel/time/step (forces recompute to the same
+            # values against the frozen lists), so folding the tail here
+            # avoids tracing+compiling a second full sort/traverse/eval
+            # pipeline for it (~doubled XLA compile at N=1M) at the cost of
+            # k-t wasted evals in the last block only.
             pos, vel, acc, pot, mass, orig, time, step, of = carry
             pos_s, vel_s, acc_s, mass_s, orig_s = sort_block(
                 pos, vel, acc, mass, orig)
@@ -247,17 +264,20 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
 
             dt = jnp.asarray(cfg.dt, pos.dtype)
 
-            def inner(c, _):
+            def inner(c, m):
                 ps, vs, as_, pots, t, st = c
-                ps, vs, as_, pots = integrator(accel_fn, ps, vs, as_, pots, dt)
-                return (ps, vs, as_, pots, t + dt, st + 1), None
+                dt_eff = dt * m
+                ps, vs, as_, pots = integrator(accel_fn, ps, vs, as_, pots,
+                                               dt_eff)
+                return (ps, vs, as_, pots, t + dt_eff,
+                        st + (m > 0).astype(step.dtype)), None
 
             # pot enters as a carry placeholder only: every integrator
             # returns pot from its final accel_fn call, so the first inner
             # step overwrites it (blocks always have length >= 1).
             (ps, vs, as_, pots, time, step), _ = jax.lax.scan(
                 inner, (pos_s, vel_s, acc_s, jnp.zeros(n_pad, pos.dtype),
-                        time, step), length=length)
+                        time, step), dt_mask)
             return (ps, vs, as_, pots, mass_s, orig_s, time, step,
                     of + plan.overflow), None
         return block
@@ -275,9 +295,11 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
             jnp.arange(n_pad, dtype=jnp.int32),
             state.time, state.step, jnp.zeros((), jnp.int32),
         )
-        carry, _ = jax.lax.scan(make_block(k), carry, length=n_blocks)
+        total = n_blocks + (1 if tail else 0)
+        masks = np.ones((total, k), dtype=state.pos.dtype)
         if tail:
-            carry, _ = make_block(tail)(carry, None)
+            masks[-1, tail:] = 0.0
+        carry, _ = jax.lax.scan(make_block(), carry, jnp.asarray(masks))
         pos, vel, acc, pot, _, orig, time, step, overflow = carry
         # Exit unsort: orig is a permutation of [0, n_pad) so a single-key
         # multi-operand sort restores the caller's particle order exactly.

@@ -239,11 +239,8 @@ def cmd_run(args) -> int:
 
     if sharded:
         state = shard_state(state, mesh)
+        # sharded_init_accel virializes fresh states itself (cfg.virialize).
         state = sharded_init_accel(cfg, mesh, state)
-        if cfg.virialize and int(state.step) == 0:
-            from parallelnbody_tpu.api import virialize_state
-
-            state = virialize_state(state)
         _audit_bh_budgets(state, mesh)
         run_k = _make_sharded_run_k(cfg, mesh, args)
     else:
@@ -319,6 +316,11 @@ def cmd_run(args) -> int:
         new_plane = ctl.get("render_plane")
         if new_plane in ("xy", "xz", "yz") and new_plane != view["plane"]:
             view["plane"] = new_plane
+            if not new_ext:
+                # No explicit extent alongside the plane switch: recompute
+                # the auto extent from the NEW plane's axes on the next
+                # frame instead of keeping the stale one.
+                view["extent"] = None
             if not args.quiet:
                 print(f"control: render_plane -> {new_plane}", file=sys.stderr)
         if "show_tree" in ctl and bool(ctl["show_tree"]) != view["show_tree"]:
@@ -349,8 +351,13 @@ def cmd_run(args) -> int:
         pos = np.asarray(jax.device_get(s.pos))
         m = np.asarray(jax.device_get(s.mass))
         if view["extent"] is None:
+            from parallelnbody_tpu.utils.render import _AXES
+
+            # Frame the ACTIVE plane's two axes (xz/yz would otherwise be
+            # mis-zoomed by an x/y-derived half-width on flattened ICs).
             view["extent"] = float(
-                np.percentile(np.abs(pos[:, :2]), 99.0)) * 1.3 or 1.0
+                np.percentile(np.abs(pos[:, _AXES[view["plane"]]]),
+                              99.0)) * 1.3 or 1.0
         out = f"{args.render_dir}/frame_{step_no:06d}.png"
         img = render_ppm(pos, m, size=args.render_size,
                          extent=view["extent"], plane=view["plane"])

@@ -186,7 +186,13 @@ def sharded_bh_overflow(cfg: SimConfig, mesh: Mesh, state: SimState,
 
 
 def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = RING_AXIS) -> SimState:
-    """Fill acc/pot of a freshly sharded state (before the first step)."""
+    """Fill acc/pot of a freshly sharded state (before the first step).
+
+    Also applies cfg.virialize to a fresh (step 0) state: every sharded
+    init path computes the real potential here (the slice/distributed
+    accels ignore track_potential), and centralizing the rescale keeps
+    bench/probe callers from silently dropping the flag the way only
+    cmd_run used to apply it."""
     specs = state_pspecs(axis)
 
     def local_init(state: SimState) -> SimState:
@@ -206,4 +212,11 @@ def sharded_init_accel(cfg: SimConfig, mesh: Mesh, state: SimState, axis: str = 
 
     fn = shard_map(local_init, mesh=mesh, in_specs=(specs,), out_specs=specs,
                    check_vma=False)
-    return jax.jit(fn)(state)
+    out = jax.jit(fn)(state)
+    if cfg.virialize and int(jax.device_get(state.step)) == 0:
+        from parallelnbody_tpu.api import virialize_state
+
+        # Pure elementwise + global reductions: runs on the sharded global
+        # arrays directly (XLA inserts the psums under jit).
+        out = jax.jit(virialize_state)(out)
+    return out

@@ -42,15 +42,19 @@ def measure(cfg: SimConfig, iters: int = 5) -> dict:
     t_compile = time.perf_counter() - t_init0
 
     t0 = time.perf_counter()
+    ofs = []
     for _ in range(iters):
         if bh:
             state, of = step(state)
+            ofs.append(of)  # device scalar: no host sync inside the loop
         else:
             state = step(state)
     force_sync(state.time)
     dt = (time.perf_counter() - t0) / iters
     if bh:
-        overflow += int(of)  # last step's counter (synced above)
+        # EVERY benchmarked step's counter (mid-run-onset clipping would
+        # hide in a first+last-only sum).
+        overflow += sum(int(x) for x in ofs)
     out = {
         "n": cfg.n,
         "force": cfg.resolve_force(),

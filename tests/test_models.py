@@ -97,3 +97,27 @@ def test_virialize_option():
     ke = float(kinetic_energy(state.vel, state.mass))
     w = float(potential_energy(state.pot, state.mass))
     assert abs(2 * ke + w) / abs(w) < 1e-6
+
+
+def test_virialize_with_untracked_potential():
+    """virialize=True must use the REAL potential even when the run's own
+    track_potential=False (the BH path returns pot=0 then — an unguarded
+    rescale would crush velocities to ~sqrt(1e-30/2K)). Regression for the
+    init-path fix: init_simulation forces potential on for its one t=0
+    evaluation."""
+    from parallelnbody_tpu.api import init_simulation
+    from parallelnbody_tpu.ops.direct import direct_accel
+    from parallelnbody_tpu.ops.energy import kinetic_energy, potential_energy
+
+    cfg = SimConfig(n=2048, ic="plummer", softening=0.02,
+                    force="barnes_hut", theta=0.6, virialize=True,
+                    track_potential=False)
+    state = init_simulation(cfg)
+    ke = float(kinetic_energy(state.vel, state.mass))
+    assert ke > 1e-6  # velocities survived the rescale
+    # 2K + W ~ 0 against an exact direct-sum potential (BH pot itself is
+    # approximate at theta=0.6, so allow the MAC error class).
+    _, pot = direct_accel(state.pos, state.mass, g=cfg.g,
+                          softening=cfg.softening)
+    w = float(potential_energy(pot, state.mass))
+    assert abs(2 * ke + w) / abs(w) < 1e-2

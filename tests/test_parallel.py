@@ -494,3 +494,24 @@ def test_distributed_run_persistent_let(eight_devices):
     den = float(jnp.sqrt(jnp.mean(jnp.sum(ref.pos ** 2, 1))))
     diff = float(jnp.sqrt(jnp.mean(jnp.sum((out.pos - ref.pos) ** 2, 1)))) / den
     assert diff < 1e-5, diff
+
+
+def test_sharded_init_virializes(eight_devices):
+    """cfg.virialize is applied INSIDE sharded_init_accel for fresh states
+    (regression: only cmd_run used to re-apply it after sharded init, so
+    bench/probe callers silently dropped the flag). 2K + W ~ 0 on the
+    sharded state, matching the single-chip init."""
+    from parallelnbody_tpu.ops.energy import kinetic_energy, potential_energy
+
+    cfg = CFG.replace(virialize=True)
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg, compute_forces=False), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+    ke = float(kinetic_energy(state.vel, state.mass))
+    w = float(potential_energy(state.pot, state.mass))
+    assert abs(2 * ke + w) / abs(w) < 1e-6
+    # Resumed (step > 0) states must NOT be re-rescaled.
+    stepped = state._replace(step=state.step + 1, vel=state.vel * 2.0)
+    out = sharded_init_accel(cfg, mesh, stepped)
+    np.testing.assert_allclose(np.asarray(out.vel),
+                               np.asarray(stepped.vel), rtol=0, atol=0)
