@@ -144,6 +144,9 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="add bh_rebuild_every=8 make_run rows for the "
                          "eligible BH cases (~3 min compile each)")
+    ap.add_argument("--filter", default=None,
+                    help="run only cases whose name contains this substring "
+                         "(re-measure one row without the full suite)")
     ap.add_argument("--out", default="BENCH_RESULTS.md")
     args = ap.parse_args()
 
@@ -221,8 +224,14 @@ def main():
                            bh_cand_budget=512, bh_cand2_budget=256,
                            track_potential=False, **common)))
 
+    if args.filter and args.out == "BENCH_RESULTS.md":
+        # A filtered run is a partial table — don't clobber the full one.
+        args.out = "BENCH_FILTERED.md"
+
     rows = []
     for name, cfg in cases:
+        if args.filter and args.filter not in name:
+            continue
         print(f"... {name}", file=sys.stderr, flush=True)
         try:
             r = measure(cfg)
@@ -239,6 +248,8 @@ def main():
             if not _reuse_eligible(cfg.replace(bh_rebuild_every=8), 16):
                 continue
             rname = f"{name} + rebuild interval 8 (make_run)"
+            if args.filter and args.filter not in rname:
+                continue
             print(f"... {rname}", file=sys.stderr, flush=True)
             try:
                 r = measure_reuse(cfg)
@@ -252,7 +263,7 @@ def main():
     # Sharded case: every visible device in one ring (skipped on one chip —
     # this rig tunnels a single TPU; on a real slice it runs unmodified).
     n_dev = len(jax.devices())
-    if n_dev > 1:
+    if n_dev > 1 and not args.filter:
         name = f"sharded ring all-pairs n=262144 x{n_dev} devices"
         try:
             cfg = SimConfig(n=262144 if backend == "tpu" else 4096,
