@@ -142,14 +142,17 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     return step
 
 
-# Measured v5e reuse capacity boundary: N=16M (16777216 padded rows,
-# 65536 leaves at 256) runs the rebuild-interval block with the full-width
-# frozen lists resident (-8% vs per-step, overflow 0); N=32M fails with a
-# TPU device error at BOTH 8 and 16 plan sections — the failure scales
-# with the resident set (lists ~2.4 GB + the 13-column blocked-scan carry
-# + sort transients on top of the per-step footprint), not the per-window
-# intermediates. Beyond this, fused runs keep per-step rebuilds.
-_REUSE_MAX_ROWS = 16777216
+# Measured v5e reuse capacity boundary: N=8M (8388608 padded rows) is the
+# largest scale whose rebuild-interval block reproduces reliably (-9% vs
+# per-step, overflow 0, re-measured across sessions). N=16M measured -8%
+# ONCE, then faulted (TPU device error) on IDENTICAL code in a later
+# session — unsectioned AND with a 4-section plan — so its fit is marginal
+# and environment-dependent, not a capacity claim; N=32M fails always.
+# The failure scales with the resident set (full-width frozen lists + the
+# 13-column blocked-scan carry + sort transients on top of the per-step
+# footprint), not the per-window intermediates. Beyond the gate, fused
+# runs keep per-step rebuilds (perf-only fallback, physics unchanged).
+_REUSE_MAX_ROWS = 8388608
 
 
 def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:

@@ -290,6 +290,10 @@ def main():
         "the budget-clip counter summed over the benchmarked steps: a",
         "nonzero value means the row benchmarks DEGRADED physics (raise",
         "the listed budgets), zero means every interaction was evaluated.",
+        "Rebuild-interval (make_run, bh_rebuild_every=8) rows appear only",
+        "for eligible scales: _REUSE_MAX_ROWS gates the fused reuse block",
+        "at 8M padded rows, the largest scale that reproduces reliably on",
+        "this chip (docs/DESIGN.md r7 capacity record).",
         "",
         "| Case | ms/step | steps/s | pairs/s | rms err | overflow "
         "| compile+first (s) |",

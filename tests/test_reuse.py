@@ -98,12 +98,19 @@ def test_eligibility_gates():
     assert _reuse_eligible(
         _cfg(n=4096, bh_leaf_size=64, bh_refine="staged", bh_sections=2,
              bh_rebuild_every=8), 16)
-    # Beyond the measured v5e capacity boundary (N=32M: resident lists +
-    # blocked-scan carry exceed HBM) the fused run keeps per-step rebuilds.
-    assert not _reuse_eligible(
-        _cfg(n=33554432, bh_leaf_size=256, bh_refine="staged",
-             bh_rebuild_every=8, bh_near_budget=512, bh_far_budget=3072,
+    # Beyond the measured v5e capacity boundary (8M padded rows: the
+    # largest scale whose fused block reproduces reliably — 16M ran -8%
+    # once, then faulted on identical code; 32M always faults) the fused
+    # run keeps per-step rebuilds.
+    assert _reuse_eligible(
+        _cfg(n=8388608, bh_leaf_size=256, bh_refine="staged",
+             bh_rebuild_every=8, bh_near_budget=512, bh_far_budget=2816,
              bh_cand_budget=512, bh_cand2_budget=256), 16)
+    for n in (16777216, 33554432):
+        assert not _reuse_eligible(
+            _cfg(n=n, bh_leaf_size=256, bh_refine="staged",
+                 bh_rebuild_every=8, bh_near_budget=512, bh_far_budget=3072,
+                 bh_cand_budget=512, bh_cand2_budget=256), 16)
     # k=1, single step, non-BH force, gather far mode: all fall back.
     assert not _reuse_eligible(_cfg(), 16)
     assert not _reuse_eligible(_cfg(bh_rebuild_every=8), 1)
