@@ -159,11 +159,16 @@ class SimConfig:
                                    # (scripts/reuse_probe.py). Applies to
                                    # make_run on the single-chip
                                    # Barnes-Hut octet path (the auto),
-                                   # including sectioned >16M scales
-                                   # (windowed plan, full-width lists);
-                                   # other paths (per-step make_step,
-                                   # sharded/distributed, far_mode=gather)
-                                   # rebuild every step regardless.
+                                   # including sectioned scales up to the
+                                   # measured 8M-row capacity gate
+                                   # (windowed plan, full-width lists),
+                                   # AND to make_distributed_run (ring
+                                   # comm + octet far: one repartition +
+                                   # one plan per block, _plan_owned/
+                                   # _eval_owned); other paths (per-step
+                                   # make_step, replicated sharded runs,
+                                   # bh_comm=let, far_mode=gather) rebuild
+                                   # every step regardless.
     bh_import_budget: int = 0      # let: per-owner-pair import capacity in
                                    # LEAVES (0 = auto = a full neighbor rank
                                    # width — always overflow-free; tune down

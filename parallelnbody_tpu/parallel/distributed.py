@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from parallelnbody_tpu.ops.morton import morton_encode
@@ -66,8 +67,8 @@ from parallelnbody_tpu.ops.bh import (
     build_tree, build_upper, traverse, build_interaction_lists,
     build_interaction_lists_staged, build_interaction_lists_octet,
     resolve_refine, resolve_far_mode, eval_far_lists,
-    _eval_far_list, _eval_far_octet, _near_field_jnp, use_pallas_bh,
-    domain_cube,
+    _eval_far_list, _eval_far_octet, _near_field_jnp, _nodes_all_octet,
+    use_pallas_bh, domain_cube,
 )
 from parallelnbody_tpu.parallel.mesh import RING_AXIS
 
@@ -312,6 +313,64 @@ def _near_let(pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg, *,
     return acc, pot, (of_req + of_table).astype(jnp.int32)
 
 
+def _owned_tree(pos_own, mass_own, sentinel, cfg, *, leaf_size, axis):
+    """Distributed tree build: local leaf summaries -> one all_gather of the
+    ~40 B/leaf summary table -> replicated global upper pyramid. Runs fresh
+    on EVERY force evaluation (the multipoles must track the true mass
+    distribution) — only the traversal/list output of _plan_owned is
+    reusable across a rebuild interval."""
+    ltree = build_tree(pos_own, mass_own, leaf_size, sentinel,
+                       multipole_order=cfg.bh_multipole, max_levels=1)
+    com_g = lax.all_gather(ltree.com[0], axis, axis=0, tiled=True)
+    mass_g = lax.all_gather(ltree.mass[0], axis, axis=0, tiled=True)
+    rad_g = lax.all_gather(ltree.radius[0], axis, axis=0, tiled=True)
+    quad_g = (lax.all_gather(ltree.quad[0], axis, axis=0, tiled=True)
+              if ltree.quad[0] is not None else None)
+    return build_upper(com_g, mass_g, rad_g, quad_g, sentinel,
+                       max_levels=cfg.bh_max_levels)
+
+
+def _near_ring(pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg, *,
+               rank, n_ranks, leaf_size, n_leaf_loc, axis, compute_pot,
+               use_pallas, eps2, guard_zero):
+    """Ring near field: the owned particle tiles ppermute around the ring;
+    pass p evaluates the window of leaves owned by rank (self - p) % P
+    against the near lists (ascending front-packed ids make every window a
+    [lo, hi) range). Returns (acc, pot) for the rank's target window."""
+    sh_pos, sh_mass = pos_own, mass_own
+    perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
+    acc = pot = None
+    for p in range(n_ranks):
+        # Issue the next rotation BEFORE computing on the current shard (same
+        # double-buffered overlap as ring.py: the collective-permute has no
+        # data dependence on this pass's near evaluation).
+        if p < n_ranks - 1:
+            nxt_pos = lax.ppermute(sh_pos, axis, perm)
+            nxt_mass = lax.ppermute(sh_mass, axis, perm)
+        owner = jnp.mod(rank - p, n_ranks).astype(jnp.int32)
+        leaf_lo = owner * n_leaf_loc
+        if use_pallas:
+            from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+            a, ph = near_field_pallas(
+                sh_pos, sh_mass, tgt_leaves, near_idx, near_valid, leaf_size,
+                cfg.g, float(cfg.softening), guard_zero,
+                interpret=jax.default_backend() != "tpu",
+                compute_pot=compute_pot, leaf_lo=leaf_lo)
+        else:
+            w_valid = (near_valid & (near_idx >= leaf_lo)
+                       & (near_idx < leaf_lo + n_leaf_loc))
+            idx_rel = jnp.clip(near_idx - leaf_lo, 0, n_leaf_loc - 1)
+            a, ph = _near_field_jnp(sh_pos, sh_mass, tgt_leaves, idx_rel,
+                                    w_valid, leaf_size, cfg.g, eps2,
+                                    guard_zero)
+        acc = a if acc is None else acc + a
+        pot = ph if pot is None else pot + ph
+        if p < n_ranks - 1:
+            sh_pos, sh_mass = nxt_pos, nxt_mass
+    return acc, pot
+
+
 def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
                   leaf_size, n_leaf_loc, axis, compute_pot=True):
     """Tree + lists + far kernels + ring near field for an owned (key-range)
@@ -322,16 +381,8 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
     guard_zero = softening == 0.0
     use_pallas = use_pallas_bh()
 
-    # ---- local leaf summaries -> replicated global upper pyramid
-    ltree = build_tree(pos_own, mass_own, leaf_size, sentinel,
-                       multipole_order=cfg.bh_multipole, max_levels=1)
-    com_g = lax.all_gather(ltree.com[0], axis, axis=0, tiled=True)
-    mass_g = lax.all_gather(ltree.mass[0], axis, axis=0, tiled=True)
-    rad_g = lax.all_gather(ltree.radius[0], axis, axis=0, tiled=True)
-    quad_g = (lax.all_gather(ltree.quad[0], axis, axis=0, tiled=True)
-              if ltree.quad[0] is not None else None)
-    tree = build_upper(com_g, mass_g, rad_g, quad_g, sentinel,
-                       max_levels=cfg.bh_max_levels)
+    tree = _owned_tree(pos_own, mass_own, sentinel, cfg,
+                       leaf_size=leaf_size, axis=axis)
 
     # ---- sliced traversal + lists for the rank's own (aligned) window.
     # The refinement mode follows the config: the dense plane is
@@ -401,39 +452,92 @@ def _forces_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
             use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
         return acc + a, pot + ph, of_lists + of_imp
 
-    # ring: shard tiles ppermute around the ring; pass p evaluates the
-    # window of leaves owned by rank (self - p) % P
-    sh_pos, sh_mass = pos_own, mass_own
-    perm = [(i, (i + 1) % n_ranks) for i in range(n_ranks)]
-    for p in range(n_ranks):
-        # Issue the next rotation BEFORE computing on the current shard (same
-        # double-buffered overlap as ring.py: the collective-permute has no
-        # data dependence on this pass's near evaluation).
-        if p < n_ranks - 1:
-            nxt_pos = lax.ppermute(sh_pos, axis, perm)
-            nxt_mass = lax.ppermute(sh_mass, axis, perm)
-        owner = jnp.mod(rank - p, n_ranks).astype(jnp.int32)
-        leaf_lo = owner * n_leaf_loc
-        if use_pallas:
-            from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+    a, ph = _near_ring(
+        pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg,
+        rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
+        n_leaf_loc=n_leaf_loc, axis=axis, compute_pot=compute_pot,
+        use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
+    return acc + a, pot + ph, of_lists
 
-            a, ph = near_field_pallas(
-                sh_pos, sh_mass, tgt_leaves, near_idx, near_valid, leaf_size,
-                cfg.g, float(softening), guard_zero,
-                interpret=jax.default_backend() != "tpu",
-                compute_pot=compute_pot, leaf_lo=leaf_lo)
-        else:
-            w_valid = (near_valid & (near_idx >= leaf_lo)
-                       & (near_idx < leaf_lo + n_leaf_loc))
-            idx_rel = jnp.clip(near_idx - leaf_lo, 0, n_leaf_loc - 1)
-            a, ph = _near_field_jnp(sh_pos, sh_mass, tgt_leaves, idx_rel,
-                                    w_valid, leaf_size, cfg.g, eps2,
-                                    guard_zero)
-        acc = acc + a
-        pot = pot + ph
-        if p < n_ranks - 1:
-            sh_pos, sh_mass = nxt_pos, nxt_mass
-    return acc, pot, of_lists
+
+def _plan_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
+                leaf_size, n_leaf_loc, axis):
+    """Traverse + octet interaction lists for the rank's aligned target
+    window — the geometry half of _forces_owned, frozen across a rebuild
+    interval (cfg.bh_rebuild_every; the distributed mirror of
+    ops/bh.bh_plan_lists). Caller guarantees the octet far mode
+    (_dist_reuse_eligible). Returns (near_idx, near_valid, far_keys,
+    far_valid, of_lists); of_lists is exact for the whole block — frozen
+    membership cannot clip further at evaluation time."""
+    dtype = pos_own.dtype
+    tree = _owned_tree(pos_own, mass_own, sentinel, cfg,
+                       leaf_size=leaf_size, axis=axis)
+    refine, cands = resolve_refine(
+        cfg.resolve_bh_refine(),
+        (cfg.bh_cand2_budget, cfg.bh_cand_budget), tree.n_levels,
+        cfg.bh_near_budget, cfg.bh_far_budget)
+    start = rank * n_leaf_loc
+    if refine == "staged":
+        far_masks, rej2 = traverse(tree, cfg.theta, start_leaf=start,
+                                   n_slice=n_leaf_loc, stop_level=2)
+        ni, nv, fk, fv, _, of = build_interaction_lists_staged(
+            tree, far_masks, rej2, theta=cfg.theta, start_leaf=start,
+            n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, cand2_budget=cands[0],
+            cand1_budget=cands[1], dtype=dtype, octet_far=True)
+    else:
+        far_masks, rejects_l1 = traverse(tree, cfg.theta, start_leaf=start,
+                                         n_slice=n_leaf_loc)
+        ni, nv, fk, fv, _, of = build_interaction_lists_octet(
+            tree, far_masks, rejects_l1, theta=cfg.theta, start_leaf=start,
+            n_slice=n_leaf_loc, near_budget=cfg.bh_near_budget,
+            far_budget=cfg.bh_far_budget, dtype=dtype)
+    return ni, nv, fk, fv, of
+
+
+def _eval_owned(pos_own, mass_own, sentinel, plan, cfg, *, rank, n_ranks,
+                leaf_size, n_leaf_loc, axis, compute_pot):
+    """Evaluate frozen lists at CURRENT owned positions: fresh distributed
+    tree (local summaries + all_gather + upper pyramid — the multipoles
+    track the true mass distribution every step), octet far kernel + ring
+    near field against the frozen membership. The distributed mirror of
+    ops/bh.bh_eval_lists: no traversal, no list build — and no LET request
+    phase would be needed either, but the reuse path ships ring-only (the
+    ICI default; see _dist_reuse_eligible). Returns (acc, pot)."""
+    ni, nv, fk, fv = plan
+    dtype = pos_own.dtype
+    eps2 = jnp.asarray(cfg.softening, dtype) ** 2
+    guard_zero = cfg.softening == 0.0
+    use_pallas = use_pallas_bh()
+    tree = _owned_tree(pos_own, mass_own, sentinel, cfg,
+                       leaf_size=leaf_size, axis=axis)
+    nodes8 = _nodes_all_octet(tree, dtype)
+    tgt_leaves = pos_own.reshape(n_leaf_loc, leaf_size, 3)
+    acc, pot = _eval_far_octet(
+        tgt_leaves, nodes8, fk, fv, g=cfg.g, softening=cfg.softening,
+        use_pallas=use_pallas, compute_pot=compute_pot)
+    a, ph = _near_ring(
+        pos_own, mass_own, tgt_leaves, ni, nv, cfg,
+        rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
+        n_leaf_loc=n_leaf_loc, axis=axis, compute_pot=compute_pot,
+        use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
+    return acc + a, pot + ph
+
+
+def _dist_reuse_eligible(cfg, n_steps: int) -> bool:
+    """cfg.bh_rebuild_every > 1 applies to the distributed fused run when
+    the near comm is the ring (the ICI default — the LET import map is
+    rebuilt per step today, though frozen lists would let it freeze too)
+    and the far mode resolves to octet, mirroring api._reuse_eligible.
+    debug_exchange runs stay per-step (the probe wants per-step migrant
+    series). Falling back never changes physics — the knob is perf-only."""
+    if cfg.bh_rebuild_every <= 1 or n_steps <= 1:
+        return False
+    if cfg.resolve_force() != "barnes_hut" or cfg.bh_comm != "ring":
+        return False
+    refine = cfg.resolve_bh_refine()
+    return resolve_far_mode(getattr(cfg, "bh_far_mode", "auto"),
+                            refine) == "octet"
 
 
 def _return_to_origin(cols_f, id_own, valid_own, *, rank, n_ranks, n_local,
@@ -512,6 +616,19 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
     cap_pair below PAIR_SLACK x N/P^2 for the steady state is the lever on
     real hardware (untestable on this rig; kept at the entry capacity).
 
+    cfg.bh_rebuild_every = k > 1 (ring comm + octet far mode,
+    _dist_reuse_eligible): the run is block-structured — ONE repartition +
+    ONE traverse/list build per k steps, with each step's force evaluation
+    refreshing only the distributed tree (local leaf summaries + the
+    all_gather + upper pyramid) against the frozen lists (_plan_owned /
+    _eval_owned). This amortizes the per-step repartition AND the geometry
+    exactly like the single-chip rebuild interval (measured -5..-11%/step
+    there, DESIGN.md r7; the distributed win additionally removes k-1
+    migrant exchanges per block — unmeasurable on this 1-chip rig).
+    Accuracy class unchanged: membership is frozen for k steps, multipoles
+    and bounding radii track true positions (same argument and measured
+    rms class as single-chip reuse).
+
     debug_exchange=True: run(state) -> (state, overflow, migrants) with
     migrants (n_steps,) int32 — the psum'd count of particles that crossed
     a rank boundary at each step's repartition (step 0 = the entry
@@ -538,6 +655,11 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
     integrator = get_integrator(cfg.integrator)
     specs = state_pspecs(axis)
     leaf_size = cfg.resolve_bh_leaf_size()
+    # cfg.bh_rebuild_every > 1: block-structured geometry reuse (one
+    # repartition + one traverse/list build per k steps; forces refresh the
+    # distributed tree every step). debug_exchange keeps the per-step path —
+    # the probe wants a per-step migrant series, not per-block.
+    reuse = _dist_reuse_eligible(cfg, n_steps) and not debug_exchange
 
     def local_run(state):
         n_local = state.pos.shape[0]
@@ -582,33 +704,105 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
                                               potv, dt)
             return pos, vel, accv, potv, of_cell[0]
 
-        # ---- enter the key-sharded space; the entry sort IS step 1's sort
-        # (the in-scan repartition starts at step 2 — a first-iteration
-        # repart would redo an exchange on a zero-migrant state).
-        (pos, vel, accv, potv, mass, pids, _, sentinel, of_enter,
-         mig_enter) = repart(
-            state.pos, state.vel, state.acc, state.pot, state.mass,
-            ids0, valid0)
-        pos, vel, accv, potv, of_s1 = force_step(pos, vel, accv, potv, mass,
-                                                 sentinel)
-        t = state.time + dt
-        st = state.step + 1
-        of_total = of_enter + of_s1
+        if reuse:
+            # ---- rebuild-interval blocks (cfg.bh_rebuild_every = k): each
+            # block = ONE repartition (the first block's IS the entry
+            # exchange) + ONE plan (traverse + lists, _plan_owned) + k
+            # integrator steps whose force evaluations refresh only the
+            # distributed tree (local summaries + all_gather + upper
+            # pyramid) against the frozen lists (_eval_owned) — the
+            # distributed mirror of api._make_run_reuse, with the same
+            # tail fold: a trailing n_steps % k remainder runs as dt=0
+            # mask rows (an exact no-op) instead of tracing a second
+            # pipeline. Migrants stay in their block-entry leaf slots for
+            # k steps (frozen membership); bounding radii are recomputed
+            # from actual positions every eval, so the MAC stays
+            # conservative — the same accuracy argument, and measured
+            # class, as the single-chip rebuild interval (DESIGN.md r7).
+            k = min(cfg.bh_rebuild_every, n_steps)
+            n_blocks, tail_r = divmod(n_steps, k)
+            total = n_blocks + (1 if tail_r else 0)
+            masks = np.ones((total, k), dtype=np.dtype(cfg.dtype))
+            if tail_r:
+                masks[-1, tail_r:] = 0.0
 
-        def body(carry, _):
-            pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
-            (pos, vel, accv, potv, mass, pids, _, sentinel, of1,
-             mig) = repart(pos, vel, accv, potv, mass, pids, pids >= 0)
-            pos, vel, accv, potv, of2 = force_step(pos, vel, accv, potv,
-                                                   mass, sentinel)
-            return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
-                    of_acc + of1 + of2), mig
+            def block(carry, dt_mask):
+                pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
+                (pos, vel, accv, potv, mass, pids, _, sentinel, of1,
+                 mig) = repart(pos, vel, accv, potv, mass, pids, pids >= 0)
+                ni, nv, fk, fv, of_p = _plan_owned(
+                    pos, mass, sentinel, cfg, rank=rank, n_ranks=n_ranks,
+                    leaf_size=leaf_size, n_leaf_loc=n_leaf_loc, axis=axis)
 
-        migs = jnp.zeros((0,), jnp.int32)
-        if n_steps > 1:
-            carry0 = (pos, vel, accv, potv, mass, pids, t, st, of_total)
-            carry, migs = jax.lax.scan(body, carry0, length=n_steps - 1)
+                def accel_fn(p):
+                    return _eval_owned(
+                        p, mass, sentinel, (ni, nv, fk, fv), cfg,
+                        rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
+                        n_leaf_loc=n_leaf_loc, axis=axis,
+                        compute_pot=compute_pot)
+
+                def inner(c, m):
+                    ps, vs, as_, pots, ti, sti = c
+                    dt_eff = dt * m
+                    ps, vs, as_, pots = integrator(accel_fn, ps, vs, as_,
+                                                   pots, dt_eff)
+                    return (ps, vs, as_, pots, ti + dt_eff,
+                            sti + (m > 0).astype(sti.dtype)), None
+
+                (pos, vel, accv, potv, t, st), _ = lax.scan(
+                    inner, (pos, vel, accv, potv, t, st), dt_mask)
+                return (pos, vel, accv, potv, mass, pids, t, st,
+                        (of_acc + of1 + of_p).astype(jnp.int32)), mig
+
+            # The block scan carries OWNED-capacity arrays (own_cap rows;
+            # the per-step path converts shapes in its out-of-scan entry
+            # repart). Pad the caller's n_local shard with inert invalid
+            # rows (pids -1, mass 0) — the first block's repartition
+            # drops them exactly like any other invalid slot.
+            pad = own_cap - n_local
+            z3 = jnp.zeros((pad, 3), state.pos.dtype)
+            z1 = jnp.zeros((pad,), state.pos.dtype)
+            carry0 = (jnp.concatenate([state.pos, z3], 0),
+                      jnp.concatenate([state.vel, z3], 0),
+                      jnp.concatenate([state.acc, z3], 0),
+                      jnp.concatenate([state.pot, z1], 0),
+                      jnp.concatenate([state.mass, z1], 0),
+                      jnp.concatenate(
+                          [ids0, jnp.full((pad,), -1, jnp.int32)], 0),
+                      state.time, state.step, jnp.zeros((), jnp.int32))
+            carry, migs = jax.lax.scan(block, carry0, jnp.asarray(masks))
             pos, vel, accv, potv, mass, pids, t, st, of_total = carry
+            mig_enter = migs[0]
+            migs = migs[1:]
+        else:
+            # ---- enter the key-sharded space; the entry sort IS step 1's
+            # sort (the in-scan repartition starts at step 2 — a first-
+            # iteration repart would redo an exchange on a zero-migrant
+            # state).
+            (pos, vel, accv, potv, mass, pids, _, sentinel, of_enter,
+             mig_enter) = repart(
+                state.pos, state.vel, state.acc, state.pot, state.mass,
+                ids0, valid0)
+            pos, vel, accv, potv, of_s1 = force_step(pos, vel, accv, potv,
+                                                     mass, sentinel)
+            t = state.time + dt
+            st = state.step + 1
+            of_total = of_enter + of_s1
+
+            def body(carry, _):
+                pos, vel, accv, potv, mass, pids, t, st, of_acc = carry
+                (pos, vel, accv, potv, mass, pids, _, sentinel, of1,
+                 mig) = repart(pos, vel, accv, potv, mass, pids, pids >= 0)
+                pos, vel, accv, potv, of2 = force_step(pos, vel, accv, potv,
+                                                       mass, sentinel)
+                return (pos, vel, accv, potv, mass, pids, t + dt, st + 1,
+                        of_acc + of1 + of2), mig
+
+            migs = jnp.zeros((0,), jnp.int32)
+            if n_steps > 1:
+                carry0 = (pos, vel, accv, potv, mass, pids, t, st, of_total)
+                carry, migs = jax.lax.scan(body, carry0, length=n_steps - 1)
+                pos, vel, accv, potv, mass, pids, t, st, of_total = carry
 
         # ---- exit: origin-order state, one reverse exchange
         cols = [pos[:, 0], pos[:, 1], pos[:, 2],
