@@ -56,6 +56,8 @@ at multi-chip scale; no NCCL/MPI analogue — XLA collectives over ICI.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -208,6 +210,117 @@ def _repartition(pos, extras, mass, ids, valid_in, *, rank, n_ranks,
         of_pair + of_own, n_migrants
 
 
+class _LetPlan(NamedTuple):
+    """Frozen LET import map (pure list geometry — reusable across a
+    rebuild interval, bh_rebuild_every): the request vector each owner
+    received (req_in), the dense-table scatter slots for imported (tpos)
+    and own (own_slot) tiles, and the near lists remapped onto dense
+    slots. Fresh POSITIONS ride the response exchange every evaluation;
+    the map itself only changes when the lists do, so the request
+    all_to_all runs once per plan."""
+
+    req: jax.Array       # (P*cap_req,) global leaf ids this rank requests
+    req_in: jax.Array    # (P*cap_req,) global leaf ids this rank must serve
+    tpos: jax.Array      # (P*cap_req,) dense slot of each response row
+    own_slot: jax.Array  # (n_leaf_loc,) dense slot of each own tile
+    new_idx: jax.Array   # near lists remapped onto dense slots
+    overflow: jax.Array  # () int32 clipped-import count (exact at plan time)
+
+
+def _near_let_plan(near_idx, near_valid, cfg, *, rank, n_ranks, n_leaf_loc,
+                   axis) -> _LetPlan:
+    """Derive the locally-essential import map from the near lists.
+
+    Locally-essential set + dense slot numbering via a cumsum over the
+    global leaf-id axis (monotone, collision-free; clipped leaves keep
+    inert zero-mass holes rather than renumbering). Per-owner request
+    slots: global leaf ids are grouped by owner contiguously (rank r owns
+    [r*n_leaf_loc, (r+1)*n_leaf_loc)), so the per-owner running count is a
+    row cumsum — no sort, no gather. The request all_to_all happens HERE:
+    under a rebuild interval it runs once per block, leaving a single
+    fixed-pattern response exchange per evaluation (_near_let_eval)."""
+    l_glob = n_ranks * n_leaf_loc
+    cap_req = min(cfg.bh_import_budget or n_leaf_loc, n_leaf_loc)
+    cap_table = n_leaf_loc + (n_ranks - 1) * cap_req
+    start = rank * n_leaf_loc
+
+    flat = jnp.where(near_valid, near_idx, l_glob).reshape(-1)
+    needed = jnp.zeros((l_glob,), jnp.bool_).at[flat].set(True, mode="drop")
+    needed_pos = jnp.cumsum(needed.astype(jnp.int32)) - 1
+    n_needed = jnp.sum(needed, dtype=jnp.int32)
+
+    own_block = jnp.arange(n_ranks, dtype=jnp.int32) == rank
+    mask_r = needed.reshape(n_ranks, n_leaf_loc) & ~own_block[:, None]
+    within = jnp.cumsum(mask_r.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(mask_r, axis=1, dtype=jnp.int32)
+    of_req = jnp.sum(jnp.maximum(counts - cap_req, 0))
+    slot = jnp.where(
+        mask_r & (within < cap_req),
+        jnp.arange(n_ranks, dtype=jnp.int32)[:, None] * cap_req + within,
+        n_ranks * cap_req).reshape(-1)
+    ids = jnp.arange(l_glob, dtype=jnp.int32)
+    req = jnp.full((n_ranks * cap_req,), -1, jnp.int32).at[slot].set(
+        ids, mode="drop")
+    req_in = lax.all_to_all(req, axis, 0, 0, tiled=True)
+
+    tpos = jnp.where(req >= 0,
+                     needed_pos[jnp.clip(req, 0, l_glob - 1)], cap_table)
+    own_pos = lax.dynamic_slice_in_dim(needed_pos, start, n_leaf_loc)
+    own_needed = lax.dynamic_slice_in_dim(needed, start, n_leaf_loc)
+    own_slot = jnp.where(own_needed, own_pos, cap_table)
+    of_table = jnp.maximum(n_needed - cap_table, 0)
+    # Remap lists onto dense slots (monotone -> still ascending
+    # front-packed; entries past cap_table are skipped by the kernel's
+    # bounds and counted above).
+    new_idx = jnp.where(near_valid,
+                        needed_pos[jnp.clip(near_idx, 0, l_glob - 1)], 0)
+    return _LetPlan(req, req_in, tpos, own_slot, new_idx,
+                    (of_req + of_table).astype(jnp.int32))
+
+
+def _near_let_eval(pos_own, mass_own, tgt_leaves, near_valid, lp, cfg, *,
+                   rank, n_ranks, leaf_size, n_leaf_loc, axis, compute_pot,
+                   use_pallas, eps2, guard_zero):
+    """Evaluate the near field through a (possibly frozen) LET import map:
+    serve the requested tiles from CURRENT positions (full-lane (n, 4*G)
+    row gathers — 132+ GB/s on v5e; never a per-particle 1-D gather), ONE
+    fixed-pattern response all_to_all, scatter into the dense table at the
+    plan's slots (rows never written stay zero-mass = inert in the
+    kernel), one kernel pass over the remapped lists. Returns (acc, pot)."""
+    dtype = pos_own.dtype
+    cap_req = min(cfg.bh_import_budget or n_leaf_loc, n_leaf_loc)
+    cap_table = n_leaf_loc + (n_ranks - 1) * cap_req
+    start = rank * n_leaf_loc
+
+    p4 = jnp.concatenate([pos_own, mass_own[:, None]], axis=1)
+    rows = jnp.swapaxes(p4.reshape(n_leaf_loc, leaf_size, 4), 1, 2).reshape(
+        n_leaf_loc, 4 * leaf_size)
+    rel = jnp.clip(lp.req_in - start, 0, n_leaf_loc - 1)
+    serve = rows[rel] * (lp.req_in >= 0).astype(dtype)[:, None]
+    resp = lax.all_to_all(serve, axis, 0, 0, tiled=True)
+
+    table = jnp.zeros((cap_table, 4 * leaf_size), dtype).at[lp.tpos].set(
+        resp, mode="drop")
+    table = table.at[lp.own_slot].set(rows, mode="drop")
+
+    if use_pallas:
+        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
+
+        return near_field_pallas(
+            None, None, tgt_leaves, lp.new_idx, near_valid, leaf_size,
+            cfg.g, float(cfg.softening), guard_zero,
+            interpret=jax.default_backend() != "tpu",
+            compute_pot=compute_pot,
+            src_t4=table.reshape(cap_table, 4, leaf_size))
+    t = table.reshape(cap_table, 4, leaf_size)
+    pos_flat = jnp.swapaxes(t, 1, 2).reshape(cap_table * leaf_size, 4)
+    return _near_field_jnp(
+        pos_flat[:, :3], pos_flat[:, 3], tgt_leaves,
+        jnp.minimum(lp.new_idx, cap_table - 1),
+        near_valid & (lp.new_idx < cap_table), leaf_size, cfg.g, eps2,
+        guard_zero)
+
+
 def _near_let(pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg, *,
               rank, n_ranks, leaf_size, n_leaf_loc, axis, compute_pot,
               use_pallas, eps2, guard_zero):
@@ -235,82 +348,14 @@ def _near_let(pos_own, mass_own, tgt_leaves, near_idx, near_valid, cfg, *,
     raising bh_import_budget.
 
     Returns (acc, pot, overflow) for the rank's target window."""
-    dtype = pos_own.dtype
-    l_glob = n_ranks * n_leaf_loc
-    cap_req = min(cfg.bh_import_budget or n_leaf_loc, n_leaf_loc)
-    cap_table = n_leaf_loc + (n_ranks - 1) * cap_req
-    start = rank * n_leaf_loc
-
-    # ---- locally-essential set + dense slot numbering (cumsum over the
-    # global leaf-id axis: monotone, collision-free; clipped leaves keep
-    # inert zero-mass holes rather than renumbering).
-    flat = jnp.where(near_valid, near_idx, l_glob).reshape(-1)
-    needed = jnp.zeros((l_glob,), jnp.bool_).at[flat].set(True, mode="drop")
-    needed_pos = jnp.cumsum(needed.astype(jnp.int32)) - 1
-    n_needed = jnp.sum(needed, dtype=jnp.int32)
-
-    # ---- per-owner request slots. Global leaf ids are grouped by owner
-    # contiguously (rank r owns [r*n_leaf_loc, (r+1)*n_leaf_loc)), so the
-    # per-owner running count is a row cumsum — no sort, no gather.
-    own_block = jnp.arange(n_ranks, dtype=jnp.int32) == rank
-    mask_r = needed.reshape(n_ranks, n_leaf_loc) & ~own_block[:, None]
-    within = jnp.cumsum(mask_r.astype(jnp.int32), axis=1) - 1
-    counts = jnp.sum(mask_r, axis=1, dtype=jnp.int32)
-    of_req = jnp.sum(jnp.maximum(counts - cap_req, 0))
-    slot = jnp.where(
-        mask_r & (within < cap_req),
-        jnp.arange(n_ranks, dtype=jnp.int32)[:, None] * cap_req + within,
-        n_ranks * cap_req).reshape(-1)
-    ids = jnp.arange(l_glob, dtype=jnp.int32)
-    req = jnp.full((n_ranks * cap_req,), -1, jnp.int32).at[slot].set(
-        ids, mode="drop")
-    req_in = lax.all_to_all(req, axis, 0, 0, tiled=True)
-
-    # ---- serve: full-lane (n, 4*G) row gathers from the owned tile table
-    # (132+ GB/s on v5e; never a per-particle 1-D gather).
-    p4 = jnp.concatenate([pos_own, mass_own[:, None]], axis=1)
-    rows = jnp.swapaxes(p4.reshape(n_leaf_loc, leaf_size, 4), 1, 2).reshape(
-        n_leaf_loc, 4 * leaf_size)
-    rel = jnp.clip(req_in - start, 0, n_leaf_loc - 1)
-    serve = rows[rel] * (req_in >= 0).astype(dtype)[:, None]
-    resp = lax.all_to_all(serve, axis, 0, 0, tiled=True)
-
-    # ---- assemble the dense table: imported tiles at their dense slots,
-    # own tiles copied in (zero comm). Rows never written stay zero-mass.
-    tpos = jnp.where(req >= 0,
-                     needed_pos[jnp.clip(req, 0, l_glob - 1)], cap_table)
-    table = jnp.zeros((cap_table, 4 * leaf_size), dtype).at[tpos].set(
-        resp, mode="drop")
-    own_pos = lax.dynamic_slice_in_dim(needed_pos, start, n_leaf_loc)
-    own_needed = lax.dynamic_slice_in_dim(needed, start, n_leaf_loc)
-    table = table.at[jnp.where(own_needed, own_pos, cap_table)].set(
-        rows, mode="drop")
-    of_table = jnp.maximum(n_needed - cap_table, 0)
-
-    # ---- remap lists onto dense slots (monotone -> still ascending
-    # front-packed; entries past cap_table are skipped by the kernel's
-    # bounds and counted above).
-    new_idx = jnp.where(near_valid,
-                        needed_pos[jnp.clip(near_idx, 0, l_glob - 1)], 0)
-
-    if use_pallas:
-        from parallelnbody_tpu.ops.pallas_bh import near_field_pallas
-
-        acc, pot = near_field_pallas(
-            None, None, tgt_leaves, new_idx, near_valid, leaf_size,
-            cfg.g, float(cfg.softening), guard_zero,
-            interpret=jax.default_backend() != "tpu",
-            compute_pot=compute_pot,
-            src_t4=table.reshape(cap_table, 4, leaf_size))
-    else:
-        t = table.reshape(cap_table, 4, leaf_size)
-        pos_flat = jnp.swapaxes(t, 1, 2).reshape(cap_table * leaf_size, 4)
-        acc, pot = _near_field_jnp(
-            pos_flat[:, :3], pos_flat[:, 3], tgt_leaves,
-            jnp.minimum(new_idx, cap_table - 1),
-            near_valid & (new_idx < cap_table), leaf_size, cfg.g, eps2,
-            guard_zero)
-    return acc, pot, (of_req + of_table).astype(jnp.int32)
+    lp = _near_let_plan(near_idx, near_valid, cfg, rank=rank,
+                        n_ranks=n_ranks, n_leaf_loc=n_leaf_loc, axis=axis)
+    acc, pot = _near_let_eval(
+        pos_own, mass_own, tgt_leaves, near_valid, lp, cfg, rank=rank,
+        n_ranks=n_ranks, leaf_size=leaf_size, n_leaf_loc=n_leaf_loc,
+        axis=axis, compute_pot=compute_pot, use_pallas=use_pallas,
+        eps2=eps2, guard_zero=guard_zero)
+    return acc, pot, lp.overflow
 
 
 def _owned_tree(pos_own, mass_own, sentinel, cfg, *, leaf_size, axis):
@@ -496,14 +541,16 @@ def _plan_owned(pos_own, mass_own, sentinel, cfg, *, rank, n_ranks,
 
 
 def _eval_owned(pos_own, mass_own, sentinel, plan, cfg, *, rank, n_ranks,
-                leaf_size, n_leaf_loc, axis, compute_pot):
+                leaf_size, n_leaf_loc, axis, compute_pot, let_plan=None):
     """Evaluate frozen lists at CURRENT owned positions: fresh distributed
     tree (local summaries + all_gather + upper pyramid — the multipoles
-    track the true mass distribution every step), octet far kernel + ring
-    near field against the frozen membership. The distributed mirror of
-    ops/bh.bh_eval_lists: no traversal, no list build — and no LET request
-    phase would be needed either, but the reuse path ships ring-only (the
-    ICI default; see _dist_reuse_eligible). Returns (acc, pot)."""
+    track the true mass distribution every step), octet far kernel + near
+    field against the frozen membership. The distributed mirror of
+    ops/bh.bh_eval_lists: no traversal, no list build. Near comm: the ring
+    by default; with let_plan (a _LetPlan frozen at block start) the LET
+    import runs its single fixed-pattern response exchange per evaluation
+    — the request phase is pure list geometry and lives in the plan.
+    Returns (acc, pot)."""
     ni, nv, fk, fv = plan
     dtype = pos_own.dtype
     eps2 = jnp.asarray(cfg.softening, dtype) ** 2
@@ -516,24 +563,34 @@ def _eval_owned(pos_own, mass_own, sentinel, plan, cfg, *, rank, n_ranks,
     acc, pot = _eval_far_octet(
         tgt_leaves, nodes8, fk, fv, g=cfg.g, softening=cfg.softening,
         use_pallas=use_pallas, compute_pot=compute_pot)
-    a, ph = _near_ring(
-        pos_own, mass_own, tgt_leaves, ni, nv, cfg,
-        rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
-        n_leaf_loc=n_leaf_loc, axis=axis, compute_pot=compute_pot,
-        use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
+    if let_plan is not None:
+        a, ph = _near_let_eval(
+            pos_own, mass_own, tgt_leaves, nv, let_plan, cfg, rank=rank,
+            n_ranks=n_ranks, leaf_size=leaf_size, n_leaf_loc=n_leaf_loc,
+            axis=axis, compute_pot=compute_pot, use_pallas=use_pallas,
+            eps2=eps2, guard_zero=guard_zero)
+    else:
+        a, ph = _near_ring(
+            pos_own, mass_own, tgt_leaves, ni, nv, cfg,
+            rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
+            n_leaf_loc=n_leaf_loc, axis=axis, compute_pot=compute_pot,
+            use_pallas=use_pallas, eps2=eps2, guard_zero=guard_zero)
     return acc + a, pot + ph
 
 
 def _dist_reuse_eligible(cfg, n_steps: int) -> bool:
-    """cfg.bh_rebuild_every > 1 applies to the distributed fused run when
-    the near comm is the ring (the ICI default — the LET import map is
-    rebuilt per step today, though frozen lists would let it freeze too)
-    and the far mode resolves to octet, mirroring api._reuse_eligible.
-    debug_exchange runs stay per-step (the probe wants per-step migrant
-    series). Falling back never changes physics — the knob is perf-only."""
+    """cfg.bh_rebuild_every > 1 applies to the distributed fused run for
+    both near-comm modes — ring (ICI default) and LET (whose request
+    all_to_all is pure list geometry and freezes with the lists, leaving
+    one fixed-pattern response exchange per evaluation) — when the far
+    mode resolves to octet, mirroring api._reuse_eligible. debug_exchange
+    runs stay per-step (the probe wants per-step migrant series). Falling
+    back never changes physics — the knob is perf-only."""
     if cfg.bh_rebuild_every <= 1 or n_steps <= 1:
         return False
-    if cfg.resolve_force() != "barnes_hut" or cfg.bh_comm != "ring":
+    if cfg.resolve_force() != "barnes_hut":
+        return False
+    if cfg.bh_comm not in ("ring", "let"):
         return False
     refine = cfg.resolve_bh_refine()
     return resolve_far_mode(getattr(cfg, "bh_far_mode", "auto"),
@@ -733,13 +790,21 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
                 ni, nv, fk, fv, of_p = _plan_owned(
                     pos, mass, sentinel, cfg, rank=rank, n_ranks=n_ranks,
                     leaf_size=leaf_size, n_leaf_loc=n_leaf_loc, axis=axis)
+                lp = None
+                if cfg.bh_comm == "let":
+                    # The LET request phase is list geometry: one request
+                    # all_to_all per BLOCK; evals pay only the response.
+                    lp = _near_let_plan(ni, nv, cfg, rank=rank,
+                                        n_ranks=n_ranks,
+                                        n_leaf_loc=n_leaf_loc, axis=axis)
+                    of_p = of_p + lp.overflow
 
                 def accel_fn(p):
                     return _eval_owned(
                         p, mass, sentinel, (ni, nv, fk, fv), cfg,
                         rank=rank, n_ranks=n_ranks, leaf_size=leaf_size,
                         n_leaf_loc=n_leaf_loc, axis=axis,
-                        compute_pot=compute_pot)
+                        compute_pot=compute_pot, let_plan=lp)
 
                 def inner(c, m):
                     ps, vs, as_, pots, ti, sti = c

@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--comm", default="ring", choices=("ring", "let"))
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -78,7 +79,8 @@ def main():
 
     cfg = SimConfig(n=args.n, ic="plummer", dt=1e-4, softening=0.01,
                     force="barnes_hut", bh_leaf_size=32, bh_near_budget=256,
-                    bh_far_budget=512, bh_distributed=True)
+                    bh_far_budget=512, bh_distributed=True,
+                    bh_comm=args.comm)
     mesh = make_ring_mesh(args.devices)
     state = shard_state(init_simulation(cfg, compute_forces=False), mesh)
 
@@ -92,7 +94,7 @@ def main():
         cfg.replace(bh_rebuild_every=args.k), mesh, args.steps))
     print(json.dumps({
         "n": args.n, "steps": args.steps, "k": args.k,
-        "devices": args.devices,
+        "devices": args.devices, "comm": args.comm,
         "per_step_run": {"counts": c1, "total": t1,
                          "per_step": t1 / args.steps},
         "reuse_run": {"counts": ck, "total": tk,

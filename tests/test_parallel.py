@@ -367,16 +367,17 @@ def test_distributed_run_small_shards_large_leaves(eight_devices):
 
 
 def test_distributed_reuse_eligibility():
-    """The distributed rebuild interval applies to ring + octet fused runs
-    only; everything else falls back to per-step rebuilds (perf-only)."""
+    """The distributed rebuild interval applies to octet fused runs under
+    BOTH near-comm modes (the LET request phase freezes with the lists);
+    everything else falls back to per-step rebuilds (perf-only)."""
     from parallelnbody_tpu.parallel.distributed import _dist_reuse_eligible
 
     cfg = _dist_cfg(1024).replace(bh_rebuild_every=4)
     assert _dist_reuse_eligible(cfg, 8)
+    assert _dist_reuse_eligible(cfg.replace(bh_comm="let"), 8)
     assert not _dist_reuse_eligible(cfg.replace(bh_rebuild_every=1), 8)
     assert not _dist_reuse_eligible(cfg, 1)
     assert not _dist_reuse_eligible(cfg.replace(force="direct"), 8)
-    assert not _dist_reuse_eligible(cfg.replace(bh_comm="let"), 8)
     assert not _dist_reuse_eligible(cfg.replace(bh_far_mode="gather"), 8)
 
 
@@ -418,6 +419,31 @@ def test_distributed_run_rebuild_interval(eight_devices):
     p1 = jnp.sum(out.mass[:, None] * out.vel, axis=0)
     mv = float(jnp.sqrt(jnp.sum(state.mass[:, None] * state.vel ** 2)))
     assert float(jnp.linalg.norm(p1 - p0)) < 5e-3 * mv
+
+
+def test_distributed_run_rebuild_interval_let(eight_devices):
+    """The rebuild interval under bh_comm='let': the request all_to_all
+    runs once per block (the import map is pure list geometry), each
+    evaluation pays only the fixed-pattern response exchange. Must track
+    the per-step LET run at the same MAC class as the ring variant."""
+    from parallelnbody_tpu.parallel.distributed import make_distributed_run
+    from parallelnbody_tpu.parallel.sharded import sharded_init_accel
+
+    cfg = _dist_cfg(2048).replace(bh_comm="let")
+    mesh = make_ring_mesh(8)
+    state = shard_state(init_simulation(cfg), mesh)
+    state = sharded_init_accel(cfg, mesh, state)
+
+    ref, of_ref = make_distributed_run(cfg, mesh, 4)(state)
+    out, of = make_distributed_run(
+        cfg.replace(bh_rebuild_every=2), mesh, 4)(state)
+    assert int(of_ref) == 0 and int(of) == 0
+    assert int(out.step) == int(ref.step) == int(state.step) + 4
+    scale = float(jnp.sqrt(jnp.mean(jnp.sum(ref.vel ** 2, 1))))
+    dv = float(jnp.sqrt(jnp.mean(jnp.sum((out.vel - ref.vel) ** 2, 1))))
+    assert dv < 2e-3 * scale, (dv, scale)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=0, atol=1e-5)
 
 
 def test_exchange_slack_config(eight_devices):
