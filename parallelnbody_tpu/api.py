@@ -112,6 +112,17 @@ def init_simulation(cfg: SimConfig, key: jax.Array | None = None,
     return state
 
 
+def _state_jit(cfg: SimConfig):
+    """jax.jit for a state -> state function, honoring cfg.donate_state:
+    donating argument 0 lets XLA alias the input SimState's buffers into
+    outputs/temporaries instead of holding both copies live across the call
+    (~0.7 GB at N=16M — the capacity edge the fused-reuse row gate sits
+    on). Callers of donated functions must rebind: `state = fn(state)`."""
+    if cfg.donate_state:
+        return functools.partial(jax.jit, donate_argnums=0)
+    return jax.jit
+
+
 # ----------------------------------------------------------------------- step
 def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     """One fused, jitted integration step: force + integrate, no host sync.
@@ -124,7 +135,7 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
     enable_compile_cache(cfg.compile_cache_dir)
     integrator = get_integrator(cfg.integrator)
 
-    @jax.jit
+    @_state_jit(cfg)
     def step(state: SimState):
         of_cell = [jnp.zeros((), jnp.int32)]
         accel_fn = make_accel_fn(cfg, state.mass,
@@ -285,7 +296,7 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
                     of + plan.overflow), None
         return block
 
-    @jax.jit
+    @_state_jit(cfg)
     def run(state: SimState):
         pad = n_pad - n
         z3 = jnp.zeros((pad, 3), state.pos.dtype)
@@ -333,7 +344,7 @@ def make_run(cfg: SimConfig, n_steps: int,
         return _make_run_reuse(cfg, n_steps, report_overflow)
     integrator = get_integrator(cfg.integrator)
 
-    @jax.jit
+    @_state_jit(cfg)
     def run(state: SimState):
         of_cell = [jnp.zeros((), jnp.int32)]
         accel_fn = make_accel_fn(cfg, state.mass,

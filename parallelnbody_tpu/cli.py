@@ -255,6 +255,11 @@ def cmd_run(args) -> int:
         # Hot steps skip the per-step potential (pot stays zeros); recompute
         # it at diagnostics cadence so logged energy/drift are meaningful
         # (mirrors api.Simulation.diagnostics).
+        # pot_fn closes over the INITIAL state's mass. With
+        # cfg.donate_state the first run segment consumes that state, so
+        # the closure constant must be traced in before any donation —
+        # the unconditional `d0 = diag(state)` below does exactly that
+        # (masses never change during a run, so the constant stays valid).
         _accel_pot = make_accel_fn(cfg.replace(track_potential=True), state.mass)
         pot_fn = jax.jit(lambda pos: _accel_pot(pos)[1])
 

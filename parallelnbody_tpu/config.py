@@ -177,6 +177,21 @@ class SimConfig:
                                    # imports are COUNTED into overflow at
                                    # leaf granularity, never silent.
 
+    donate_state: bool = False     # donate the input SimState buffers of
+                                   # jitted step/run functions to XLA
+                                   # (jax.jit donate_argnums): the runtime
+                                   # may reuse them for outputs/temporaries,
+                                   # freeing one full copy of the state at
+                                   # the jit boundary (~0.7 GB at N=16M) —
+                                   # a capacity lever at the 8-32M edge.
+                                   # CONTRACT: the caller must treat the
+                                   # passed state as consumed (rebind to
+                                   # the return value; never call the same
+                                   # jitted fn twice on one state object).
+                                   # The CLI run loop and Simulation.step
+                                   # already rebind. Ignored on backends
+                                   # without donation support (CPU).
+
     # --- Pallas kernel tiling (256x2048 measured best on v5e) ---
     tile_i: int = 256
     tile_j: int = 2048

@@ -139,16 +139,22 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = RING_AXIS,
         local_step, mesh=mesh, in_specs=(specs,), out_specs=out_specs,
         check_vma=False,
     )
+    # cfg.donate_state: same capacity lever as the single-chip paths
+    # (api._state_jit) — each chip's N/P shard of the input state is handed
+    # to XLA instead of staying live across the call. Callers rebind.
+    if cfg.donate_state:
+        return jax.jit(sharded, donate_argnums=0)
     return jax.jit(sharded)
 
 
 def make_sharded_run(cfg: SimConfig, mesh: Mesh, n_steps: int, axis: str = RING_AXIS):
     """n_steps sharded steps fused into one jitted lax.scan."""
-    step = make_sharded_step(cfg, mesh, axis)
+    # Donation belongs on the OUTER jit only: inside the scan the step sees
+    # traced values, where an inner donate_argnums is meaningless noise.
+    step = make_sharded_step(cfg.replace(donate_state=False), mesh, axis)
 
     # Scan over the already-shard_mapped step: state shardings are preserved
     # by jit, so the collectives stay inside one compiled program.
-    @jax.jit
     def run(state: SimState) -> SimState:
         def body(s, _):
             return step(s), None
@@ -156,7 +162,9 @@ def make_sharded_run(cfg: SimConfig, mesh: Mesh, n_steps: int, axis: str = RING_
         state, _ = jax.lax.scan(body, state, length=n_steps)
         return state
 
-    return run
+    if cfg.donate_state:
+        return jax.jit(run, donate_argnums=0)
+    return jax.jit(run)
 
 
 def sharded_bh_overflow(cfg: SimConfig, mesh: Mesh, state: SimState,

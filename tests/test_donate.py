@@ -1,0 +1,104 @@
+"""cfg.donate_state: input-state buffer donation at the jit boundary.
+
+Donation is a capacity lever (it frees one full copy of the SimState at the
+step/run call — ~0.7 GB at N=16M, where the fused-reuse fit is marginal,
+api._REUSE_MAX_ROWS). The contract is opt-in and caller-visible: the passed
+state is consumed; rebind to the return value. These tests pin
+
+  * trajectories are bitwise unchanged by donation on every single-chip
+    path (per-step, fused run, rebuild-interval run);
+  * donation actually takes effect (the input is deleted afterwards —
+    guards against silently losing the donate_argnums wiring);
+  * the default (donate_state=False) leaves inputs reusable.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from parallelnbody_tpu.api import init_simulation, make_run, make_step
+from parallelnbody_tpu.config import SimConfig
+
+
+def _cfg(**kw):
+    base = dict(n=1024, force="direct", dt=1e-3, softening=0.01,
+                integrator="leapfrog", ic="plummer")
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _assert_same(a, b):
+    assert bool(jnp.all(a.pos == b.pos))
+    assert bool(jnp.all(a.vel == b.vel))
+    assert bool(jnp.all(a.acc == b.acc))
+    assert int(a.step) == int(b.step)
+
+
+def test_step_bitwise_and_consumed():
+    cfg = _cfg()
+    ref = make_step(cfg)(init_simulation(cfg))
+
+    don = init_simulation(cfg)
+    out = make_step(cfg.replace(donate_state=True))(don)
+    _assert_same(ref, out)
+    # The donated input must be gone (this is what frees the memory).
+    with pytest.raises(RuntimeError):
+        don.pos.block_until_ready()
+
+
+def test_run_bitwise_and_chainable():
+    cfg = _cfg()
+    ref = make_run(cfg, 5)(init_simulation(cfg))
+
+    run = make_run(cfg.replace(donate_state=True), 5)
+    out = run(init_simulation(cfg))
+    _assert_same(ref, out)
+    # Chaining under the rebind contract keeps working.
+    out2 = run(out)
+    assert int(out2.step) == 10
+
+
+def test_reuse_run_bitwise():
+    # The rebuild-interval run (api._make_run_reuse) is the path donation
+    # exists for: its 13-column sorted carry sits on top of the input state
+    # at the capacity edge.
+    cfg = _cfg(n=2048, force="barnes_hut", theta=0.72,
+               bh_rebuild_every=3)
+    ref, of_ref = make_run(cfg, 6, report_overflow=True)(
+        init_simulation(cfg))
+    out, of = make_run(cfg.replace(donate_state=True), 6,
+                       report_overflow=True)(init_simulation(cfg))
+    _assert_same(ref, out)
+    assert int(of) == int(of_ref) == 0
+
+
+def test_sharded_step_and_run_donate(eight_devices):
+    # Donation composes with shard_map/pjit: each chip's shard of the
+    # donated state is freed, same contract as single-chip.
+    from parallelnbody_tpu.parallel import (
+        make_ring_mesh, make_sharded_run, make_sharded_step, shard_state)
+
+    cfg = _cfg(n=512, donate_state=True)
+    mesh = make_ring_mesh(8)
+    ref = make_run(cfg.replace(donate_state=False), 3)(init_simulation(cfg))
+
+    don = shard_state(init_simulation(cfg), mesh)
+    step = make_sharded_step(cfg, mesh)
+    out = don
+    for _ in range(3):
+        out = step(out)
+    assert bool(jnp.all(jnp.abs(out.pos - ref.pos) < 1e-5))
+    with pytest.raises(RuntimeError):
+        don.pos.block_until_ready()
+
+    don2 = shard_state(init_simulation(cfg), mesh)
+    out2 = make_sharded_run(cfg, mesh, 3)(don2)
+    assert bool(jnp.all(out2.pos == out2.pos)) and int(out2.step) == 3
+    with pytest.raises(RuntimeError):
+        don2.pos.block_until_ready()
+
+
+def test_default_keeps_input_alive():
+    cfg = _cfg()
+    state = init_simulation(cfg)
+    make_step(cfg)(state)
+    state.pos.block_until_ready()  # must not raise: nothing was donated
