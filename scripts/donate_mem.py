@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--n", type=int, default=1048576)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--only", choices=("off", "on", "both"), default="both",
+                    help="which donate variant(s) to compile — large-N "
+                         "compiles can need one process per variant to fit "
+                         "a timeout window")
     args = ap.parse_args()
 
     cfg = SimConfig(n=args.n, force="barnes_hut", theta=0.72,
@@ -58,7 +62,8 @@ def main():
                           bh_near_budget=512, bh_far_budget=3072,
                           bh_cand_budget=512, bh_cand2_budget=256)
     state = init_simulation(cfg)
-    for donate in (False, True):
+    variants = {"off": (False,), "on": (True,), "both": (False, True)}
+    for donate in variants[args.only]:
         print(json.dumps(analyze(cfg.replace(donate_state=donate),
                                  args.steps, state)), flush=True)
 
