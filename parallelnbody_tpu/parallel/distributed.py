@@ -892,4 +892,10 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
     out_specs = (specs, P(), P()) if debug_exchange else (specs, P())
     fn = shard_map(local_run, mesh=mesh, in_specs=(specs,),
                    out_specs=out_specs, check_vma=False)
+    # cfg.donate_state: the distributed fused run is the designated
+    # beyond-32M path, so the ~N/P x 56 B input aliasing matters most here
+    # (VERDICT r4 weak #2). Same rebind contract as the single-chip runs;
+    # each chip's shard of the donated state is freed.
+    if cfg.donate_state:
+        return jax.jit(fn, donate_argnums=0)
     return jax.jit(fn)
