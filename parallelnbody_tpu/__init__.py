@@ -19,7 +19,8 @@ reference: Source/NBody/OctreeSearch.h, OctreeSearch.cpp):
 
 from parallelnbody_tpu.config import SimConfig, reference_compat_config
 from parallelnbody_tpu.state import SimState
-from parallelnbody_tpu.api import Simulation, make_step, init_simulation
+from parallelnbody_tpu.api import (Simulation, make_step, init_simulation,
+                                   prepare_simulation, calibrate_budgets)
 
 __version__ = "0.1.0"
 
@@ -29,6 +30,8 @@ __all__ = [
     "Simulation",
     "make_step",
     "init_simulation",
+    "prepare_simulation",
+    "calibrate_budgets",
     "reference_compat_config",
     "__version__",
 ]

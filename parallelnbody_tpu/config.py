@@ -65,20 +65,28 @@ class SimConfig:
     # --- Barnes-Hut parameters ---
     bh_leaf_size: int = 0          # particles per leaf group; 0 = auto
                                    # (scales with n — see resolve_bh_leaf_size)
-    bh_near_budget: int = 3584     # max exact-interaction source leaves per
+    bh_near_budget: int = 0        # max exact-interaction source leaves per
                                    # target leaf (self-clamps to n_leaves;
-                                   # overflow reported). Fat sparse-region
-                                   # leaves can be near almost everything
-                                   # (measured max 3488 of 4096 at N=1M), and
-                                   # the budget costs list width, not
-                                   # compute, so default to covering it.
-    bh_far_budget: int = 2816      # max far multipoles per target leaf
-                                   # (overflow reported). Dense mode: leaf
-                                   # multipoles only (N=1M theta=0.72 max
-                                   # ~1300). Staged: ALL far classes
-                                   # in one list — auto-leaf N=4M/8M
-                                   # measured max 2547/2528, so the default
-                                   # carries ~10% headroom over them.
+                                   # overflow reported). 0 = AUTO: state-
+                                   # owning entry points (Simulation, the
+                                   # CLI run/bench, bench_suite) calibrate
+                                   # it from the actual t=0 geometry
+                                   # (api.calibrate_budgets measures the
+                                   # exact per-target maxima and adds
+                                   # headroom); paths with no state at hand
+                                   # fall back to the conservative static
+                                   # default (resolve_bh_near_budget: 3584
+                                   # — fat sparse-region leaves can be near
+                                   # almost everything, measured max 3488
+                                   # of 4096 at N=1M, and the budget costs
+                                   # list width, not compute).
+    bh_far_budget: int = 0         # max far multipoles per target leaf
+                                   # (overflow reported). 0 = AUTO, as
+                                   # above (fallback 2816: dense-mode leaf
+                                   # multipoles max ~1300 at N=1M
+                                   # theta=0.72; staged ALL-classes maxima
+                                   # 2547/2528 at auto-leaf N=4M/8M + ~10%
+                                   # headroom).
     bh_curve: str = "hilbert"      # hilbert | morton sort order (hilbert has
                                    # no curve jumps -> compact leaves)
     bh_distributed: bool = False   # multi-chip BH: False = replicated tree
@@ -144,19 +152,27 @@ class SimConfig:
                                    # near-kernel launch; the DCN-scale
                                    # design: per-rank comm is the halo
                                    # surface, not N)
-    bh_rebuild_every: int = 1      # rebuild the tree GEOMETRY (sort +
+    bh_rebuild_every: int = 8      # rebuild the tree GEOMETRY (sort +
                                    # traversal + interaction lists) every
                                    # this many steps inside fused runs;
                                    # between rebuilds only the multipole
                                    # pyramid is refreshed from current
                                    # positions and the frozen lists are
                                    # re-evaluated (classic tree-code
-                                   # rebuild interval). Measured on v5e at
-                                   # k=8: -5% ms/step at N=1M, -9% at the
-                                   # staged scales, with sampled rms force
+                                   # rebuild interval). k=8 is the SHIPPED
+                                   # operating point (r5): measured on v5e
+                                   # -5% ms/step at N=1M, -9% at the
+                                   # staged scales, sampled rms force
                                    # error vs direct unchanged at 1e-3
                                    # through 8+ reused steps at shipped dt
-                                   # (scripts/reuse_probe.py). Applies to
+                                   # (scripts/reuse_probe.py), and
+                                   # certified long-horizon — 1000-step
+                                   # energy drift through the reuse run is
+                                   # 6.7e-8 vs the per-step 4.1e-8, both
+                                   # pinned < 1e-6 by the C++-oracle gates
+                                   # (tests/test_oracle.py). Set 1 for
+                                   # per-step rebuilds (exact per-step
+                                   # geometry). Applies to
                                    # make_run on the single-chip
                                    # Barnes-Hut octet path (the auto),
                                    # including sectioned scales up to the
@@ -171,8 +187,12 @@ class SimConfig:
                                    # every step regardless.
     bh_import_budget: int = 0      # let: per-owner-pair import capacity in
                                    # LEAVES (0 = auto = a full neighbor rank
-                                   # width — always overflow-free; tune down
-                                   # toward the measured halo on DCN meshes,
+                                   # width — always overflow-free, but the
+                                   # dense import table is then ~the GLOBAL
+                                   # leaf table: per-rank near-field memory
+                                   # O(N), not O(N/P) — the ring is the
+                                   # memory-safe default; tune down toward
+                                   # the measured halo on DCN meshes,
                                    # scripts/let_halo_probe.py). Missing
                                    # imports are COUNTED into overflow at
                                    # leaf granularity, never silent.
@@ -295,6 +315,22 @@ class SimConfig:
         if self.bh_leaf_size:
             return self.bh_leaf_size
         return 128 if self.n <= (1 << 19) else 256
+
+    # Static fallbacks for bh_near_budget / bh_far_budget = 0 when no state
+    # is at hand to calibrate against (api.calibrate_budgets is the real
+    # auto): conservative covers measured across the shipped configs.
+    FALLBACK_NEAR_BUDGET = 3584
+    FALLBACK_FAR_BUDGET = 2816
+
+    def resolve_bh_near_budget(self) -> int:
+        """bh_near_budget with the 0=auto sentinel resolved to the static
+        fallback. Entry points that own a state should first replace the
+        config via api.calibrate_budgets (measures the exact t=0 maxima);
+        this resolver is the no-state fallback every consumer reads."""
+        return self.bh_near_budget or self.FALLBACK_NEAR_BUDGET
+
+    def resolve_bh_far_budget(self) -> int:
+        return self.bh_far_budget or self.FALLBACK_FAR_BUDGET
 
     def resolve_bh_refine(self) -> str:
         """Resolve bh_refine='auto': the dense leaf plane is O(n_leaves) per

@@ -65,8 +65,8 @@ def _bh_sharded_accel(pos_local, mass_local, cfg: SimConfig, axis: str,
     acc_sl, pot_sl, perm, overflow = bh_accel_target_slice(
         pos_all, mass_all, rank, n_ranks,
         leaf_size=cfg.resolve_bh_leaf_size(), theta=cfg.theta, g=cfg.g,
-        softening=cfg.softening, near_budget=cfg.bh_near_budget,
-        far0_budget=cfg.bh_far_budget,
+        softening=cfg.softening, near_budget=cfg.resolve_bh_near_budget(),
+        far0_budget=cfg.resolve_bh_far_budget(),
         use_pallas=use_pallas_bh(), curve=cfg.bh_curve,
         multipole=cfg.bh_multipole, max_levels=cfg.bh_max_levels,
         refine=cfg.resolve_bh_refine(),

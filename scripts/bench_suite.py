@@ -20,14 +20,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax  # noqa: E402
 
 from parallelnbody_tpu.config import SimConfig  # noqa: E402
-from parallelnbody_tpu.api import init_simulation, make_step  # noqa: E402
+from parallelnbody_tpu.api import (init_simulation, make_step,  # noqa: E402
+                                   prepare_simulation)
 from parallelnbody_tpu.utils.profiling import force_sync  # noqa: E402
 
 
 def measure(cfg: SimConfig, iters: int = 5) -> dict:
     bh = cfg.resolve_force() == "barnes_hut"
     t_init0 = time.perf_counter()
-    state = init_simulation(cfg)
+    # prepare_simulation calibrates the auto (0) budgets against the actual
+    # ICs (VERDICT r4 #2: no hand-tuned budget anywhere in this suite); the
+    # calibration compiles are charged to the compile column.
+    cfg, state = prepare_simulation(cfg)
     # Overflow is carried through every benchmarked step: a BH perf row
     # with clipped budgets benchmarks corrupted physics (the 4M auto-cand
     # clip shipped exactly that way until the rms column caught it).
@@ -74,15 +78,21 @@ def measure(cfg: SimConfig, iters: int = 5) -> dict:
             state.pos, state.mass, state.acc, g=cfg.g,
             softening=cfg.softening)
         out["overflow"] = overflow
+        out["budgets"] = {"near": cfg.bh_near_budget,
+                          "far": cfg.bh_far_budget,
+                          "cand2": cfg.bh_cand2_budget,
+                          "cand1": cfg.bh_cand_budget}
     return out
 
 
 def measure_reuse(cfg: SimConfig, k: int = 8, n_steps: int = 16) -> dict:
     """The same operating point through make_run with a tree-rebuild
-    interval (bh_rebuild_every=k): one sort + traversal + list build per
-    block of k steps, multipole pyramid refreshed every step (DESIGN.md §3
-    r7). rms is measured on the final state's own forces — the accuracy the
-    reused-list trajectory actually integrated with."""
+    interval (bh_rebuild_every=k, the SHIPPED default since r5 — certified
+    by the 1000-step oracle drift gates in tests/test_oracle.py): one sort
+    + traversal + list build per block of k steps, multipole pyramid
+    refreshed every step (DESIGN.md §3 r7). rms is measured on the final
+    state's own forces — the accuracy the reused-list trajectory actually
+    integrated with."""
     from parallelnbody_tpu.api import _reuse_eligible, make_run
     from parallelnbody_tpu.utils.accuracy import rms_force_error_sample
 
@@ -90,7 +100,7 @@ def measure_reuse(cfg: SimConfig, k: int = 8, n_steps: int = 16) -> dict:
     if not _reuse_eligible(cfg, n_steps):
         raise ValueError("config not eligible for bh_rebuild_every")
     t0 = time.perf_counter()
-    state = init_simulation(cfg)
+    cfg, state = prepare_simulation(cfg)
     run = make_run(cfg, n_steps, report_overflow=True)
     out, of = run(state)
     force_sync(out.time)
@@ -141,9 +151,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small sizes only")
     ap.add_argument("--xl", action="store_true",
                     help="include the N=16M single-chip case (~10 min extra)")
-    ap.add_argument("--reuse", action="store_true",
-                    help="add bh_rebuild_every=8 make_run rows for the "
-                         "eligible BH cases (~3 min compile each)")
+    ap.add_argument("--no-reuse", action="store_true",
+                    help="skip the bh_rebuild_every=8 make_run rows (the "
+                         "SHIPPED operating point since r5; on by default, "
+                         "~3 min compile each)")
     ap.add_argument("--filter", default=None,
                     help="run only cases whose name contains this substring "
                          "(re-measure one row without the full suite)")
@@ -168,25 +179,25 @@ def main():
             # rms vs direct at N=1M with ZERO list overflow (scripts/
             # theta_sweep.py); track_potential=False skips the per-step
             # potential column (diagnostics recompute on demand).
-            # bh_leaf_size left at 0 = auto (128 at 262k, 256 at 1M, 512
-            # at 4M — measured best per size, config.resolve_bh_leaf_size).
+            # bh_leaf_size left at 0 = auto (128 at 262k, 256 at 1M+ —
+            # measured best per size, config.resolve_bh_leaf_size).
+            # NO budgets anywhere in this suite since r5: every config
+            # leaves them at 0 = auto, and measure() calibrates them from
+            # the actual t=0 geometry (api.calibrate_budgets) — the bench
+            # table exercises exactly what an untuned user gets, with the
+            # overflow column as the guard (VERDICT r4 #2).
             ("Barnes-Hut n=262144 (quad, theta=0.72)",
              SimConfig(n=262144, force="barnes_hut", theta=0.72,
-                       bh_near_budget=3584, bh_far_budget=2048,
                        track_potential=False, **common)),
             ("Barnes-Hut n=1048576 (BASELINE config 3; quad, theta=0.72)",
              SimConfig(n=1048576, force="barnes_hut", theta=0.72,
-                       bh_near_budget=3584, bh_far_budget=1536,
                        track_potential=False, **common)),
-            # Colliding cores pack more near leaves per target than a single
-            # Plummer sphere: budget 5120 measured overflow-free at 2M
-            # (staged near_max 4715). Auto refine = staged at 8192 leaves
-            # (r4: 624 vs 664 ms dense); far budget covers the combined
-            # staged far classes (measured max 1804).
+            # Colliding cores pack more near leaves per target than a
+            # single Plummer sphere — exactly why calibration beats a
+            # global default here. Auto refine = staged at 8192 leaves.
             ("Barnes-Hut n=2097152 galaxy collision (BASELINE config 5)",
              SimConfig(n=2097152, ic="galaxy_collision", force="barnes_hut",
-                       theta=0.72, bh_near_budget=5120, bh_far_budget=2048,
-                       track_potential=False,
+                       theta=0.72, track_potential=False,
                        integrator="leapfrog", softening=0.01, dt=5e-4)),
             # BASELINE config 4 asks for N=4M on a v5p MESH; this runs it on
             # ONE v5e chip. r4: leaf 256 + staged lists (auto) measured
@@ -194,34 +205,21 @@ def main():
             # at theta 0.75 — faster AND more accurate.
             ("Barnes-Hut n=4194304 single chip (staged, theta=0.72)",
              SimConfig(n=4194304, force="barnes_hut", theta=0.72,
-                       bh_near_budget=512, bh_far_budget=2816,
                        track_potential=False, **common)),
-            # Staged hierarchical lists (r4): leaf 256 at 8M (32768 leaves —
-            # the dense plane OOMs there); budgets from measured maxima
-            # (near_max 197, far_max 2528) with headroom.
             ("Barnes-Hut n=8388608 single chip (staged lists, theta=0.72)",
              SimConfig(n=8388608, force="barnes_hut", theta=0.72,
-                       bh_leaf_size=256, bh_refine="staged",
-                       bh_near_budget=512, bh_far_budget=2816,
-                       bh_cand_budget=512, bh_cand2_budget=256,
                        track_potential=False, **common)),
         ]
         if args.xl:
             cases.append(
                 ("Barnes-Hut n=16777216 single chip (staged, theta=0.72)",
                  SimConfig(n=16777216, force="barnes_hut", theta=0.72,
-                           bh_leaf_size=256, bh_refine="staged",
-                           bh_near_budget=512, bh_far_budget=3072,
-                           bh_cand_budget=512, bh_cand2_budget=256,
                            track_potential=False, **common)))
             # Slice-sectioned evaluation (bh_sections auto = 8 windows):
             # unsectioned 32M wants 34.6 GB at compile vs 15.75 GB HBM.
             cases.append(
                 ("Barnes-Hut n=33554432 single chip (staged, 8 sections)",
                  SimConfig(n=33554432, force="barnes_hut", theta=0.72,
-                           bh_leaf_size=256, bh_refine="staged",
-                           bh_near_budget=512, bh_far_budget=3072,
-                           bh_cand_budget=512, bh_cand2_budget=256,
                            track_potential=False, **common)))
 
     if args.filter and args.out == "BENCH_RESULTS.md":
@@ -241,13 +239,13 @@ def main():
         rows.append(r)
         print(json.dumps(r), flush=True)
 
-    if args.reuse:
+    if not args.no_reuse:
         from parallelnbody_tpu.api import _reuse_eligible
 
         for name, cfg in cases:
             if not _reuse_eligible(cfg.replace(bh_rebuild_every=8), 16):
                 continue
-            rname = f"{name} + rebuild interval 8 (make_run)"
+            rname = f"{name} + rebuild interval 8 (make_run, DEFAULT)"
             if args.filter and args.filter not in rname:
                 continue
             print(f"... {rname}", file=sys.stderr, flush=True)
@@ -290,10 +288,15 @@ def main():
         "the budget-clip counter summed over the benchmarked steps: a",
         "nonzero value means the row benchmarks DEGRADED physics (raise",
         "the listed budgets), zero means every interaction was evaluated.",
-        "Rebuild-interval (make_run, bh_rebuild_every=8) rows appear only",
-        "for eligible scales: _REUSE_MAX_ROWS gates the fused reuse block",
-        "at 8M padded rows, the largest scale that reproduces reliably on",
-        "this chip (docs/DESIGN.md r7 capacity record).",
+        "Rebuild-interval rows (make_run, bh_rebuild_every=8 — the SHIPPED",
+        "default operating point, certified by 1000-step oracle drift",
+        "gates) appear for eligible scales: _REUSE_MAX_ROWS gates the",
+        "fused reuse block at 8M padded rows, the largest scale that",
+        "reproduces reliably on this chip (docs/DESIGN.md r7 capacity",
+        "record). Every BH budget in this table is AUTO-CALIBRATED from",
+        "the actual t=0 geometry (api.calibrate_budgets) — no hand-tuned",
+        "budgets anywhere in the suite; calibration compiles are charged",
+        "to the compile column.",
         "",
         "| Case | ms/step | steps/s | pairs/s | rms err | overflow "
         "| compile+first (s) |",

@@ -494,10 +494,13 @@ def test_midrun_overflow_reported():
     from parallelnbody_tpu.state import make_state
 
     n_cl, per = 32, 8
+    # bh_rebuild_every=1: the default rebuild interval (8) freezes list
+    # membership per block, so mid-block onset surfaces at the NEXT block's
+    # plan (delay <= k-1 steps) — this test pins the per-step semantics.
     cfg = SimConfig(n=n_cl * per, force="barnes_hut", bh_leaf_size=per,
                     bh_near_budget=2, bh_far_budget=64, theta=0.5,
                     softening=1e-2, dt=0.25, integrator="leapfrog",
-                    bh_multipole=1, dtype="float64")
+                    bh_multipole=1, dtype="float64", bh_rebuild_every=1)
     # Cluster centers on a well-separated lattice; members jittered +-0.1.
     ii = jnp.arange(n_cl)
     centers = 100.0 * jnp.stack(

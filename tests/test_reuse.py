@@ -22,8 +22,12 @@ from parallelnbody_tpu.config import SimConfig
 
 
 def _cfg(**kw):
+    # bh_rebuild_every=1 pins the base to PER-STEP rebuilds: k=8 became the
+    # shipped default in r5, so the per-step-vs-reuse comparisons here must
+    # set the baseline explicitly.
     base = dict(n=2048, force="barnes_hut", theta=0.72, dt=1e-3,
-                softening=0.01, integrator="leapfrog", ic="plummer")
+                softening=0.01, integrator="leapfrog", ic="plummer",
+                bh_rebuild_every=1)
     base.update(kw)
     return SimConfig(**base)
 
