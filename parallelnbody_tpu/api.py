@@ -17,6 +17,7 @@ do not call step().
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -228,13 +229,31 @@ def make_step(cfg: SimConfig, report_overflow: bool = False) -> Callable:
 # largest scale whose rebuild-interval block reproduces reliably (-9% vs
 # per-step, overflow 0, re-measured across sessions). N=16M measured -8%
 # ONCE, then faulted (TPU device error) on IDENTICAL code in a later
-# session — unsectioned AND with a 4-section plan — so its fit is marginal
-# and environment-dependent, not a capacity claim; N=32M fails always.
-# The failure scales with the resident set (full-width frozen lists + the
-# 13-column blocked-scan carry + sort transients on top of the per-step
-# footprint), not the per-window intermediates. Beyond the gate, fused
-# runs keep per-step rebuilds (perf-only fallback, physics unchanged).
-_REUSE_MAX_ROWS = 8388608
+# session — unsectioned AND with a 4-section plan; N=32M faulted in the
+# r7 sessions too.
+#
+# The compiled-memory ledger (scripts/donate_mem.py AOT memory_analysis,
+# r5 — the r4-documented 16M rows were the PER-STEP program due to the
+# since-fixed eligibility gate in the script) says the faults are NOT
+# application OOM: every reuse program fits the 15.75 GB HBM with margin.
+#
+#   rows (k=8, shipped budgets)   peak GB   peak GB (donate_state)
+#   8M  reuse (unsectioned)          3.99      3.57   <- gate (runs)
+#   16M reuse (unsectioned)         12.72     11.89   <- faults anyway
+#   32M reuse (8 sections)          11.92     10.26   <- faults anyway
+#   32M per-step (8 sections)        9.83      8.16   <- runs fine
+#
+# A ledger-derived gate (peak vs HBM) was considered and REJECTED: it
+# would admit 16M/32M, which fault despite fitting — the failure is
+# environment-level (the axon tunnel runtime), not a memory model this
+# code can compute. The constant is therefore pinned to the largest
+# empirically-reliable scale, the ledger rules out the app-OOM
+# explanation, and PARALLELNBODY_REUSE_MAX_ROWS overrides the gate for
+# deployments whose runtime handles the larger resident sets (beyond the
+# gate, fused runs keep per-step rebuilds — perf-only fallback, physics
+# unchanged).
+_REUSE_MAX_ROWS = int(os.environ.get("PARALLELNBODY_REUSE_MAX_ROWS",
+                                     8388608))
 
 
 def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
