@@ -201,6 +201,48 @@ def test_bench_run_steps_reuse(capsys):
     assert out["steps_per_sec"] > 0
 
 
+def test_bench_run_steps_distributed(capsys, eight_devices):
+    """bench --run-steps with --devices + --bh-distributed times the
+    persistent distributed fused run (its (state, overflow) return shape
+    must not be confused with the SimState NamedTuple)."""
+    rc = main(["bench", "--n", "1024", "--force", "barnes_hut",
+               "--bh-leaf-size", "32", "--bh-near-budget", "256",
+               "--theta", "0.7", "--iters", "1", "--softening", "0.02",
+               "--dtype", "float64", "--devices", "8",
+               "--bh-distributed", "true", "--run-steps", "3",
+               "--bh-rebuild-every", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["devices"] == 8
+    assert out["run_steps"] == 3
+    assert out["overflow"] == 0
+
+
+def test_reuse_gate_env_override():
+    """PARALLELNBODY_REUSE_MAX_ROWS lifts the empirical capacity gate for
+    runtimes that handle larger resident sets (the 8M constant is tied to
+    THIS rig's reproducible fault, not an app memory model — the compiled
+    ledger shows every reuse program fits HBM; DESIGN.md §3 r5)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from parallelnbody_tpu import api\n"
+        "from parallelnbody_tpu.config import SimConfig\n"
+        "cfg = SimConfig(n=2048, force='barnes_hut', bh_leaf_size=32,\n"
+        "                bh_rebuild_every=8)\n"
+        "assert not api._reuse_eligible(cfg, 16)\n"
+        "print('gated')\n"
+    )
+    env = dict(**__import__('os').environ,
+               PARALLELNBODY_REUSE_MAX_ROWS="999")
+    r = subprocess.run([_sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "gated" in r.stdout
+
+
 def test_oracle_cmd(capsys):
     rc = main(["oracle", "--n", "128", "--steps", "100", "--dt", "0.001",
                "--softening", "0.05", "--force", "direct", "--trajectory"])
