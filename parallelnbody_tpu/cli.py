@@ -145,6 +145,33 @@ def _make_sharded_run_k(cfg, mesh, args):
     return run_k
 
 
+_AUTO_BUDGET_FIELDS = ("bh_near_budget", "bh_far_budget",
+                       "bh_cand2_budget", "bh_cand_budget")
+
+
+def recalibrate_on_overflow(cfg, state, auto_fields):
+    """Self-healing budgets: when a segment reports overflow on a config
+    whose budgets were AUTO-calibrated at t=0, re-measure the EVOLVED
+    geometry (a collapsing merger packs more near leaves per target than
+    its t=0 state) and grow any budget that the fresh measurement says is
+    too small. Only the originally-auto fields move (explicit budgets are
+    the user's word), and only upward (monotone growth bounds the
+    recompile count — geometry oscillation cannot thrash the jit cache).
+    Returns (cfg, grew) where grew maps the raised fields to their new
+    values ({} = nothing to do; the clip was transient or exchange-side).
+
+    The clipped segment itself is NOT recomputed: a per-step clip costs
+    one segment of degraded force for the affected particles (bounded,
+    warned) — the heal is for the rest of the run."""
+    from parallelnbody_tpu.api import calibrate_budgets
+
+    fresh = calibrate_budgets(cfg.replace(**{f: 0 for f in auto_fields}),
+                              state)
+    grew = {f: getattr(fresh, f) for f in auto_fields
+            if getattr(fresh, f) > getattr(cfg, f)}
+    return (cfg.replace(**grew) if grew else cfg), grew
+
+
 def cmd_run(args) -> int:
     from parallelnbody_tpu.api import (init_simulation, make_run, make_step,
                                        make_accel_fn, calibrate_budgets,
@@ -175,6 +202,13 @@ def cmd_run(args) -> int:
             print(f"resumed from {ckpt} at step {int(state.step)}", file=sys.stderr)
 
     sharded = cfg.n_devices > 1
+    # Which budget fields arrived as 0 = auto (captured BEFORE calibration
+    # fills them): these are the fields recalibrate_on_overflow may grow
+    # mid-run. A resumed checkpoint carries concrete (calibrated) budgets,
+    # so resumed runs heal only via explicit flags.
+    auto_budget_fields = ([f for f in _AUTO_BUDGET_FIELDS
+                           if getattr(cfg, f) == 0]
+                          if cfg.resolve_force() == "barnes_hut" else [])
     if sharded:
         from parallelnbody_tpu.parallel import shard_state
         from parallelnbody_tpu.parallel.sharded import sharded_init_accel
@@ -438,6 +472,18 @@ def cmd_run(args) -> int:
                               f"--bh-far-budget (forces are degraded for the "
                               f"affected particles)", file=sys.stderr)
                     ovf_total += seg_ovf
+                    if not sharded and auto_budget_fields:
+                        # Self-heal auto budgets from the EVOLVED geometry:
+                        # re-measure, grow only what clipped, rebuild the
+                        # jitted closures (runs_invalid) for the remaining
+                        # segments. Monotone growth bounds the recompiles.
+                        cfg, grew = recalibrate_on_overflow(
+                            cfg, state, auto_budget_fields)
+                        if grew:
+                            runs_invalid = True
+                            if not args.quiet:
+                                print(f"recalibrated budgets after overflow: "
+                                      f"{grew}", file=sys.stderr)
                 step_now = int(force_sync(state.step))
                 now = time.perf_counter()
                 record = {}

@@ -129,6 +129,36 @@ def test_fallback_without_state():
     assert bool(jnp.all(jnp.isfinite(out.pos)))
 
 
+def test_recalibrate_on_overflow_grows_with_geometry():
+    """Self-healing budgets (cli.recalibrate_on_overflow): t=0 calibration
+    on two WELL-SEPARATED clusters sizes the near budget to the
+    intra-cluster requirement; when the clusters have merged (the evolved
+    state a mid-run overflow signals), re-measuring grows the auto fields
+    — and only upward, and only the originally-auto ones."""
+    from parallelnbody_tpu.cli import (recalibrate_on_overflow,
+                                       _AUTO_BUDGET_FIELDS)
+
+    cfg0 = _cfg(n=32768, bh_leaf_size=32)
+    state = init_simulation(cfg0, compute_forces=False)
+    n2 = cfg0.n // 2
+    off = jnp.array([40.0, 0.0, 0.0])
+    separated = state._replace(pos=jnp.concatenate(
+        [state.pos[:n2] - off, state.pos[n2:] + off]))
+    auto = [f for f in _AUTO_BUDGET_FIELDS if getattr(cfg0, f) == 0]
+    cfg = calibrate_budgets(cfg0, separated)
+    # merged geometry (the original single sphere) needs bigger lists
+    cfg2, grew = recalibrate_on_overflow(cfg, state, auto)
+    assert grew.get("bh_near_budget", 0) > cfg.bh_near_budget
+    assert cfg2.bh_near_budget == grew["bh_near_budget"]
+    # shrinking geometry never shrinks budgets (monotone growth)
+    cfg3, grew3 = recalibrate_on_overflow(cfg2, separated, auto)
+    assert grew3 == {} and cfg3 == cfg2
+    # explicit budgets are untouched (empty auto list)
+    cfgE = cfg0.replace(bh_near_budget=8)
+    cfg4, grew4 = recalibrate_on_overflow(cfgE, state, [])
+    assert grew4 == {} and cfg4.bh_near_budget == 8
+
+
 def test_simulation_calibrates():
     """The library entry point owns a state, so it calibrates: the stored
     cfg has concrete budgets and stepping reports no overflow."""
