@@ -256,6 +256,32 @@ _REUSE_MAX_ROWS = int(os.environ.get("PARALLELNBODY_REUSE_MAX_ROWS",
                                      8388608))
 
 
+# Measured plan/eval cost ratio at the shipped 1M operating point
+# (scripts/reuse_probe.py: sort+traverse+lists ~54 ms vs eval ~196 ms):
+# used to pick the rebuild-block size below.
+_REUSE_PLAN_RATIO = 0.3
+
+
+def _reuse_block_size(k_max: int, n_steps: int,
+                      plan_ratio: float = _REUSE_PLAN_RATIO) -> int:
+    """Pick the rebuild-block size k <= k_max minimizing total work for a
+    run of n_steps. The tail (n_steps % k) is folded into a full k-step
+    block as dt=0 masked evals (ONE traced pipeline instead of two
+    compiles), so the evaluation count is ceil(n_steps/k)*k — naively
+    using k_max on a short run wastes evals: 10 steps at k=8 would run
+    16 evals (+60%), while k=5 runs exactly 10 with half the plans.
+    Cost model: evals + blocks*plan_ratio. Never exceeds k_max, so the
+    user's rebuild cadence (the accuracy contract: geometry at most k
+    steps stale) is only ever tightened, never stretched."""
+    best, best_cost = 1, float("inf")
+    for k in range(1, min(k_max, n_steps) + 1):
+        blocks = -(-n_steps // k)
+        cost = blocks * k + blocks * plan_ratio
+        if cost < best_cost:
+            best, best_cost = k, cost
+    return best
+
+
 def _reuse_eligible(cfg: SimConfig, n_steps: int) -> bool:
     """bh_rebuild_every > 1 applies to the fused single-chip Barnes-Hut
     octet path (the shipped auto), sectioned configurations included up to
@@ -311,7 +337,7 @@ def _make_run_reuse(cfg: SimConfig, n_steps: int,
     use_pallas = bh.use_pallas_bh()
     sections = bh.resolve_sections(cfg.bh_sections, n_leaves, refine)
     encode = hilbert_encode if cfg.bh_curve == "hilbert" else morton_encode
-    k = min(cfg.bh_rebuild_every, n_steps)
+    k = _reuse_block_size(cfg.bh_rebuild_every, n_steps)
     n_blocks, tail = divmod(n_steps, k)
     compute_pot = cfg.track_potential
     big = jnp.iinfo(jnp.int32).max

@@ -789,7 +789,13 @@ def make_distributed_run(cfg, mesh, n_steps, axis=RING_AXIS,
             # from actual positions every eval, so the MAC stays
             # conservative — the same accuracy argument, and measured
             # class, as the single-chip rebuild interval (DESIGN.md r7).
-            k = min(cfg.bh_rebuild_every, n_steps)
+            # Block size <= cfg.bh_rebuild_every minimizing total evals for
+            # this run length (the dt=0 tail fold wastes k - tail evals in
+            # the last block; api._reuse_block_size picks the sweet spot —
+            # never stretching the user's rebuild cadence).
+            from parallelnbody_tpu.api import _reuse_block_size
+
+            k = _reuse_block_size(cfg.bh_rebuild_every, n_steps)
             n_blocks, tail_r = divmod(n_steps, k)
             total = n_blocks + (1 if tail_r else 0)
             masks = np.ones((total, k), dtype=np.dtype(cfg.dtype))

@@ -148,6 +148,37 @@ def test_fallback_still_runs(state2k):
     assert bool(jnp.all(s.pos == ref.pos))
 
 
+def test_block_size_minimizes_waste():
+    """The dt=0 tail fold runs ceil(n/k)*k evals: with the shipped k=8
+    default and a short CLI segment (e.g. log_every=10 -> 10-step runs),
+    naively blocking at 8 would burn 16 evals for 10 steps. The block
+    size is chosen to minimize total work, never exceeding the user's
+    cadence (geometry staleness only ever tightens)."""
+    from parallelnbody_tpu.api import _reuse_block_size
+
+    assert _reuse_block_size(8, 10) == 5    # 10 evals, 2 plans
+    assert _reuse_block_size(8, 16) == 8    # exact
+    assert _reuse_block_size(8, 7) == 7     # single block
+    assert _reuse_block_size(8, 1000) == 8  # 125 exact blocks
+    assert _reuse_block_size(4, 10) == 2    # cadence cap respected
+    assert _reuse_block_size(8, 11) in (4, 6)  # 12 evals either way
+    for k_max in (2, 3, 8):
+        for n in range(2, 40):
+            k = _reuse_block_size(k_max, n)
+            assert 1 <= k <= k_max
+            # never worse than per-step-equivalent eval count + plans
+            assert -(-n // k) * k <= n + k - 1
+
+
+def test_run_length_with_tail_fold(state2k):
+    # 10 steps at the k=8 default: the chosen block size must advance
+    # exactly 10 steps of physics whatever blocking it picks.
+    cfg = _cfg(bh_rebuild_every=8)
+    s = make_run(cfg, 10)(state2k)
+    assert int(s.step) == 10
+    assert float(s.time) == pytest.approx(10 * cfg.dt, rel=1e-5)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         _cfg(bh_rebuild_every=0)
