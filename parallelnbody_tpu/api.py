@@ -153,7 +153,12 @@ def calibrate_budgets(cfg: SimConfig, state: SimState,
     req = measure_budget_requirements(state.pos, state.mass, cfg)
 
     def pad(x, mult):
-        return max(mult, -(-int(x * headroom) // mult) * mult)
+        # Relative headroom AND one full lane of absolute slack: 1.25x
+        # alone can land exactly on a multiple (8M r5: near_max 205 ->
+        # 256 exactly, and a +0.4% geometry drift clipped 29 entries six
+        # steps into the bench), leaving zero real margin after rounding.
+        target = max(int(x * headroom), int(x) + mult)
+        return max(mult, -(-target // mult) * mult)
 
     kw = {}
     if want_near:
