@@ -119,7 +119,8 @@ def _fill_initial_forces(cfg: SimConfig, state: SimState) -> SimState:
 
 
 def calibrate_budgets(cfg: SimConfig, state: SimState,
-                      headroom: float = 1.25) -> SimConfig:
+                      headroom: float = 1.25,
+                      n_ranks: int | None = None) -> SimConfig:
     """Resolve bh_*_budget = 0 (auto) fields by MEASURING this state's exact
     per-target interaction-list requirements (ops/bh.py
     measure_budget_requirements) and adding `headroom` for evolution, so a
@@ -137,6 +138,14 @@ def calibrate_budgets(cfg: SimConfig, state: SimState,
     configs, and the per-step/per-segment overflow counter remains the
     loud guard either way.
 
+    n_ranks: stating the distributed rank count additionally calibrates
+    the LET import budget (bh_distributed + bh_comm="let" +
+    bh_import_budget=0): the measured per-owner-pair essential-leaf
+    maximum replaces the runtime full-width auto, restoring O(halo)/rank
+    import memory/comm on ICs whose essential set is local
+    (ops/bh.py measure_import_requirement). Leave n_ranks unset to keep
+    the always-overflow-free full neighbor width.
+
     Returns cfg with concrete budgets (a no-op for non-Barnes-Hut forces
     or when every auto field was explicit)."""
     if cfg.resolve_force() != "barnes_hut":
@@ -148,9 +157,17 @@ def calibrate_budgets(cfg: SimConfig, state: SimState,
     staged = cfg.resolve_bh_refine() == "staged"
     want_c2 = staged and cfg.bh_cand2_budget == 0
     want_c1 = staged and cfg.bh_cand_budget == 0
-    if not (want_near or want_far or want_c2 or want_c1):
+    # LET import budget (distributed near-field exchange): only measurable
+    # when the caller states the rank count — the runtime auto (0) stays
+    # the always-overflow-free full neighbor width (parallel/distributed.py
+    # module docs: the memory-honest default).
+    want_imp = (n_ranks is not None and n_ranks > 1 and cfg.bh_distributed
+                and cfg.bh_comm == "let" and cfg.bh_import_budget == 0)
+    want_lists = want_near or want_far or want_c2 or want_c1
+    if not (want_lists or want_imp):
         return cfg
-    req = measure_budget_requirements(state.pos, state.mass, cfg)
+    if want_lists:
+        req = measure_budget_requirements(state.pos, state.mass, cfg)
 
     def pad(x, mult):
         # Relative headroom AND one full lane of absolute slack: 1.25x
@@ -161,18 +178,42 @@ def calibrate_budgets(cfg: SimConfig, state: SimState,
         return max(mult, -(-target // mult) * mult)
 
     kw = {}
-    if want_near:
-        kw["bh_near_budget"] = min(pad(req["near_max"], 128),
-                                   req["n_leaves"])
-    if want_far:
-        kw["bh_far_budget"] = pad(req["far_max"], 128)
-    # Only meaningful when the measurement actually ran the staged pipeline
-    # (resolve_refine can fall back to dense on shallow trees).
-    if req["refine"] == "staged":
-        if want_c2:
-            kw["bh_cand2_budget"] = pad(req["cand2_max"], 64)
-        if want_c1:
-            kw["bh_cand_budget"] = pad(req["cand1_max"], 64)
+    if want_lists:
+        if want_near:
+            kw["bh_near_budget"] = min(pad(req["near_max"], 128),
+                                       req["n_leaves"])
+        if want_far:
+            kw["bh_far_budget"] = pad(req["far_max"], 128)
+        # Only meaningful when the measurement actually ran the staged
+        # pipeline (resolve_refine can fall back to dense on shallow trees).
+        if req["refine"] == "staged":
+            if want_c2:
+                kw["bh_cand2_budget"] = pad(req["cand2_max"], 64)
+            if want_c1:
+                kw["bh_cand_budget"] = pad(req["cand1_max"], 64)
+    if want_imp:
+        # Measure with the just-calibrated (concrete) list budgets so the
+        # probe lists cannot clip; the import count is a per-owner-pair
+        # DISTINCT-leaf maximum over a sample-sort partition proxy
+        # (measure_import_requirement docs). The proxy tiles exactly
+        # n_leaves/P leaves per rank, but the real run's local leaf table
+        # is own_slack-padded (parallel/distributed.py _plan: n_leaf_loc =
+        # ceil(n_loc*(1+own_slack)/G)) AND leaf boundaries re-tile at every
+        # rank edge — so scale the measured count to the actual geometry
+        # before padding (measured: the proxy's full width 8 vs actual
+        # n_leaf_loc 10 at n=2048/P=8/G=32 clipped 53 imports unscaled).
+        # Splitters also resample every repartition; the relative+absolute
+        # pad covers drift and the plan-time overflow counter stays the
+        # loud guard.
+        from parallelnbody_tpu.ops.bh import measure_import_requirement
+        from parallelnbody_tpu.parallel.distributed import _plan_cfg
+        imp = measure_import_requirement(state.pos, state.mass,
+                                         cfg.replace(**kw), n_ranks)
+        n_local = -(-cfg.n // n_ranks)
+        _, _, n_leaf_loc = _plan_cfg(cfg, n_local, n_ranks,
+                                     cfg.resolve_bh_leaf_size())
+        scaled = -(-imp["import_max"] * n_leaf_loc) // imp["n_leaf_loc_proxy"]
+        kw["bh_import_budget"] = min(pad(scaled, 8), n_leaf_loc)
     return cfg.replace(**kw)
 
 

@@ -43,6 +43,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from parallelnbody_tpu.ops.morton import morton_encode
 from parallelnbody_tpu.ops.hilbert import hilbert_encode
@@ -1627,6 +1628,63 @@ def measure_budget_requirements(pos, mass, cfg) -> dict:
     far_max = int(jax.device_get(jnp.max(upc + f1 + f0)))
     return out | {"near_max": near_max, "far_max": far_max,
                   "cand2_max": cand2_max, "cand1_max": cand1_max}
+
+
+def measure_import_requirement(pos, mass, cfg, n_ranks: int) -> dict:
+    """Measured LET import-budget requirement (bh_comm="let"): the maximum
+    over (requester, owner) rank pairs of DISTINCT owner leaves referenced
+    by the requester's near lists on THIS mass distribution — the
+    measurement behind bh_import_budget auto-calibration
+    (api.calibrate_budgets(n_ranks=...)). The per-pair import capacity it
+    sizes is _near_let_plan's cap_req (parallel/distributed.py), whose
+    runtime auto (bh_import_budget=0) is a FULL neighbor width — always
+    overflow-free but O(N)/rank memory; a measured budget restores
+    O(halo)/rank on ICs whose essential set is actually local
+    (scripts/let_granularity_probe.py: per-pair max 286 of 512 at P=8/1M
+    plummer).
+
+    Partition proxy: the sample-sort ranges of the distributed repartition
+    are approximated by equal-count contiguous leaf windows of the
+    single-chip Hilbert order — the same curve, the same equal-count
+    intent, identical up to <leaf_size particles at each rank boundary
+    plus the per-rank pad rows. Exactness is neither possible (splitters
+    resample every repartition) nor required: the result feeds
+    calibrate_budgets' relative+absolute headroom and every clipped import
+    is COUNTED into overflow at plan time (_near_let_plan), never silent.
+
+    Returns {"import_max", "n_leaf_loc_proxy", "n_leaves"}.
+    """
+    leaf_size = cfg.resolve_bh_leaf_size()
+    n = pos.shape[0]
+    n_leaves, _, n_levels = plan_tree(n, leaf_size, cfg.bh_max_levels)
+    refine, cands = resolve_refine(
+        cfg.resolve_bh_refine(), (cfg.bh_cand2_budget, cfg.bh_cand_budget),
+        n_levels, cfg.resolve_bh_near_budget(), cfg.resolve_bh_far_budget())
+    sections = resolve_sections(cfg.bh_sections, n_leaves, refine)
+
+    @jax.jit
+    def near_lists(pos, mass):
+        _, mass_s, _, tree, _, _ = _prepare(
+            pos, mass, leaf_size=leaf_size, curve=cfg.bh_curve,
+            multipole_order=cfg.bh_multipole, max_levels=cfg.bh_max_levels)
+        plan = bh_plan_lists(
+            tree, theta=cfg.theta, near_budget=cfg.resolve_bh_near_budget(),
+            far_budget=cfg.resolve_bh_far_budget(), refine=refine,
+            cand_budgets=cands, dtype=pos.dtype, sections=sections)
+        return plan.near_idx, plan.near_valid
+
+    ni, nv = (np.asarray(a) for a in jax.device_get(near_lists(pos, mass)))
+    l_loc = -(-n_leaves // n_ranks)
+    owner = np.minimum(np.arange(n_leaves) // l_loc, n_ranks - 1)
+    imp_max = 0
+    for r in range(n_ranks):
+        rows = slice(r * l_loc, min((r + 1) * l_loc, n_leaves))
+        ids = np.unique(ni[rows][nv[rows]])
+        counts = np.bincount(owner[ids], minlength=n_ranks)
+        counts[r] = 0
+        imp_max = max(imp_max, int(counts.max()))
+    return {"import_max": imp_max, "n_leaf_loc_proxy": l_loc,
+            "n_leaves": n_leaves}
 
 
 def use_pallas_bh() -> bool:

@@ -51,9 +51,11 @@ design:
      LET's structural wins are therefore O(1) collectives vs O(P)
      serialized ring hops (the DCN-latency lever) and ONE kernel launch —
      NOT comm volume or memory. Set bh_import_budget to the measured halo
-     (let_halo_probe) to restore O(halo) memory/comm on ICs where the
-     essential set is actually local; every clipped import is counted into
-     overflow, never silent (_near_let).
+     to restore O(halo) memory/comm on ICs where the essential set is
+     actually local — api.calibrate_budgets(n_ranks=P) measures it from
+     the t=0 geometry (ops/bh.py measure_import_requirement; manual probe:
+     let_halo_probe); every clipped import is counted into overflow,
+     never silent (_near_let).
   5. **Reverse exchange.** (acc, pot) return to each particle's origin rank
      (carried global id), so the caller's state sharding is unchanged.
 
