@@ -59,6 +59,11 @@ def main():
                          "mesh instead of the single-chip make_run (forces "
                          "JAX_PLATFORMS=cpu with virtual devices)")
     ap.add_argument("--comm", choices=("ring", "let"), default="ring")
+    ap.add_argument("--skip-init-forces", action="store_true",
+                    help="skip the t=0 force evaluation when building the "
+                         "probe state (the AOT ledger only needs shapes; at "
+                         "capacity-probe N the t=0 eval is itself the fault "
+                         "risk being measured)")
     args = ap.parse_args()
 
     if args.devices:
@@ -111,7 +116,8 @@ def main():
     if args.k > 1 and label != "reuse":
         print(f"WARNING: k={args.k} requested but config is reuse-ineligible"
               f" — compiling the per-step program", file=sys.stderr)
-    state = init_simulation(cfg)
+    state = init_simulation(cfg,
+                            compute_forces=not args.skip_init_forces)
     variants = {"off": (False,), "on": (True,), "both": (False, True)}
     for donate in variants[args.only]:
         run = make_run(cfg.replace(donate_state=donate), args.steps,
